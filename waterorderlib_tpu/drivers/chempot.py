@@ -1,0 +1,122 @@
+"""Hard-sphere insertion chemical potential driver.
+
+TPU-native replacement for `chemPotCalc`
+(/root/reference/structureLibs/orderParam_lib.py:1666-1791): random probe
+insertions per frame, count heavy atoms overlapping each probe within
+`probeRadius`, histogram the overlap counts N, and report
+mu = -ln P(N=0), <N>, <N^2>.
+
+Two insertion modes, as in the reference:
+- bulk (`keyword=False`): uniform insertions in the box (10,000/frame);
+- shell (`keyword=True`): insertions uniform in a sphere of radius 4.2 A
+  around a randomly chosen solute heavy atom (100,000/frame).
+
+The reference's rejection-sampling `while` loop (ref :1720-1732) becomes a
+fixed-shape sample-and-mask: we draw uniform points in the cube and *weight*
+each insertion by whether it falls inside the sphere, which reproduces the
+same uniform-in-sphere density without data-dependent control flow. RNG is
+jax PRNG (deterministic given `seed`) inside the same jitted scan as the
+overlap counting, so nothing round-trips to host.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from waterorderlib_tpu.drivers.orderparams import _resolve_system
+from waterorderlib_tpu.ops import pairs
+
+
+def chem_pot_calc(
+    top_file,
+    traj_file,
+    wat_res: str = "WAT",
+    probe_radius: float = 3.3,
+    keyword: bool = False,
+    stride: int = 1,
+    n_insertions: int | None = None,
+    shell_cutoff: float = 4.2,
+    max_overlap: int = 100,
+    seed: int = 0,
+    output_dir: str = ".",
+):
+    """Returns (muHS, avgN, avgN2); writes HS-solute_overlap_hist[_Shell].txt."""
+    top, traj = _resolve_system(top_file, traj_file, stride)
+    heavy_inds = top.get_heavy_inds()
+    sol_inds, *_ = top.get_sol_inds(wat_res)
+    if keyword and len(sol_inds) == 0:
+        raise ValueError("shell-mode insertion requires a solute")
+    n_ins = n_insertions if n_insertions is not None else (100000 if keyword else 10000)
+
+    heavy_pos = jnp.asarray(traj.positions[:, heavy_inds, :])
+    boxes = jnp.asarray(traj.boxes)
+    sol_pos = jnp.asarray(traj.positions[:, sol_inds, :]) if len(sol_inds) else None
+    key = jax.random.PRNGKey(seed)
+    frame_keys = jax.random.split(key, traj.n_frames)
+
+    ins_block = 2048  # insertions processed per device step
+
+    @jax.jit
+    def run(heavy_pos, boxes, frame_keys, sol_pos=None):
+        def one_frame(carry, frame):
+            if sol_pos is None:
+                hp, box, k = frame
+                sp = None
+            else:
+                hp, box, k, sp = frame
+
+            def one_block(carry2, kb):
+                if keyword:
+                    # uniform in the cube, masked to the inscribed sphere,
+                    # centered on a random solute heavy atom
+                    k1, k2 = jax.random.split(kb)
+                    delta = jax.random.uniform(
+                        k1, (ins_block, 3), minval=-shell_cutoff, maxval=shell_cutoff
+                    )
+                    inside = jnp.sum(delta * delta, axis=1) <= shell_cutoff**2
+                    which = jax.random.randint(k2, (ins_block,), 0, sp.shape[0])
+                    probes = sp[which] + delta
+                else:
+                    probes = jax.random.uniform(kb, (ins_block, 3)) * box[None, :]
+                    inside = jnp.ones(ins_block, bool)
+                n_over = pairs.neighbor_counts(
+                    probes, hp, box, 0.0, probe_radius, row_block=ins_block
+                )
+                n_over = jnp.clip(n_over, 0, max_overlap - 1)
+                hist = jnp.zeros(max_overlap, jnp.float32).at[n_over].add(
+                    inside.astype(jnp.float32)
+                )
+                return carry2 + hist, None
+
+            n_blocks = -(-n_ins // ins_block)
+            keys = jax.random.split(k, n_blocks)
+            hist, _ = jax.lax.scan(one_block, jnp.zeros(max_overlap, jnp.float32), keys)
+            return carry + hist, None
+
+        xs = (heavy_pos, boxes, frame_keys) if sol_pos is None else (
+            heavy_pos, boxes, frame_keys, sol_pos
+        )
+        return jax.lax.scan(one_frame, jnp.zeros(max_overlap, jnp.float32), xs)[0]
+
+    counts = np.asarray(
+        run(heavy_pos, boxes, frame_keys, sol_pos) if keyword
+        else run(heavy_pos, boxes, frame_keys)
+    ).astype(np.float64)
+
+    num = np.arange(max_overlap, dtype=np.float64)
+    total = counts.sum()
+    mu_hs = -np.log(counts[0] / total) if counts[0] > 0 else np.inf
+    avg_n = float(np.dot(num, counts) / total)
+    avg_n2 = float(np.dot(num**2, counts) / total)
+
+    fname = "HS-solute_overlap_hist_Shell.txt" if keyword else "HS-solute_overlap_hist.txt"
+    np.savetxt(
+        os.path.join(output_dir, fname),
+        np.vstack((num, counts)).T,
+        header="Number of non-solute atoms overlapping           Histogram count",
+    )
+    return float(mu_hs), avg_n, avg_n2

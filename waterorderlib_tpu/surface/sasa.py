@@ -1,0 +1,169 @@
+"""Solvent-accessible surface area (Shrake-Rupley) kernels.
+
+TPU-native replacements for `SpherePoints`/`SphereSurfaceAreas`/
+`SphereVolumes` (/root/reference/fortran/waterlib.f90:68-187), the
+`SASAperAtom` wrapper (/root/reference/structureLibs/water_properties.py:59-74)
+and `sasaCalc` (/root/reference/structureLibs/surface_library.py:394-423).
+
+The reference's per-atom point-occlusion loops (O(N^2 * P) with early exits)
+become one blocked tensor sweep: for a block of atoms, place the golden-
+spiral points on each sphere and test all points against all occluding
+spheres at once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from waterorderlib_tpu.core import pbc
+from waterorderlib_tpu.core.geometry import sphere_points
+
+
+@partial(jax.jit, static_argnames=("n_exp", "atom_block"))
+def sphere_surface_areas(
+    pos: jnp.ndarray,
+    radii: jnp.ndarray,
+    points: jnp.ndarray,
+    box: jnp.ndarray,
+    n_exp: int = 10,
+    atom_block: int = 64,
+):
+    """Per-atom exposed surface area + exposure flag
+    (waterlib.f90:90-141).
+
+    pos: (N, 3); radii: (N,) — *already including* any probe radius;
+    points: (P, 3) unit-sphere points; box: (3,) (non-positive = no PBC).
+    A point on sphere i is occluded if it lies strictly inside sphere j
+    (distance^2 < radii[j]^2, j != i, j reimaged around i).
+    Returns (areas (N,), exposed (N,) bool with >= n_exp visible points).
+    """
+    n = pos.shape[0]
+    p = points.shape[0]
+    radii_sq = radii * radii
+
+    def one_block(args):
+        blk_pos, blk_rad, blk_idx = args  # (B, 3), (B,), (B,)
+        pts = blk_pos[:, None, :] + blk_rad[:, None, None] * points[None, :, :]  # (B,P,3)
+        # reimage occluders around each center (ref :125-128)
+        jpos = blk_pos[:, None, :] + pbc.minimum_image(
+            pos[None, :, :] - blk_pos[:, None, :], box
+        )  # (B, N, 3)
+        d2 = jnp.sum((pts[:, :, None, :] - jpos[:, None, :, :]) ** 2, axis=-1)  # (B,P,N)
+        occ = d2 < radii_sq[None, None, :]
+        # an atom never occludes its own points
+        self_mask = blk_idx[:, None] == jnp.arange(n)[None, :]  # (B, N)
+        occ = occ & ~self_mask[:, None, :]
+        visible = ~jnp.any(occ, axis=-1)  # (B, P)
+        n_vis = jnp.sum(visible, axis=-1)
+        area = 4.0 * jnp.pi * blk_rad**2 * n_vis / p
+        return area, n_vis >= n_exp
+
+    block = min(atom_block, max(1, n))
+    pad = (-n) % block
+    pos_p = jnp.concatenate([pos, jnp.zeros((pad, 3), pos.dtype)]) if pad else pos
+    rad_p = jnp.concatenate([radii, jnp.ones(pad, radii.dtype)]) if pad else radii
+    idx_p = jnp.arange(n + pad)
+    shape = (-1, block)
+    areas, exposed = jax.lax.map(
+        one_block,
+        (pos_p.reshape(shape + (3,)), rad_p.reshape(shape), idx_p.reshape(shape)),
+    )
+    return areas.reshape(-1)[:n], exposed.reshape(-1)[:n]
+
+
+def sasa_per_atom(
+    pos,
+    radii,
+    box=None,
+    probe_radius: float = 1.4,
+    n_points: int = 1000,
+    n_expose: int = 10,
+):
+    """SASA per atom + surface flags (water_properties.py:59-74): golden
+    spiral points on spheres of radius (vdW + probe). box=None disables PBC
+    (the reference wrapper passes no box)."""
+    pts = jnp.asarray(sphere_points(n_points), jnp.float32)
+    if box is None:
+        box = jnp.array([-1.0, -1.0, -1.0], jnp.float32)
+    return sphere_surface_areas(
+        jnp.asarray(pos), jnp.asarray(radii) + probe_radius, pts, jnp.asarray(box), n_expose
+    )
+
+
+@partial(jax.jit, static_argnames=("n_points",))
+def sasa_calc(
+    heavy_pos: jnp.ndarray,
+    box: jnp.ndarray,
+    vdw_radii: jnp.ndarray,
+    sol_radius: float = 1.4,
+    n_points: int = 100,
+):
+    """surface_library.py:394-423 variant: insertion points at
+    (vdW_i + probe) tested for overlap against *bare* vdW spheres of other
+    atoms under PBC. Returns (points (N, P, 3), accessible (N, P) bool,
+    sasa (N,)).
+
+    NOTE: the reference computes sasa_i = frac * 4*pi*(r_i + probe) — the
+    radius is NOT squared (surface_library.py:417); reproduced verbatim for
+    parity.
+    """
+    pts = jnp.asarray(sphere_points(n_points), heavy_pos.dtype)
+    ins = heavy_pos[:, None, :] + (vdw_radii + sol_radius)[:, None, None] * pts[None, :, :]
+    d2 = jnp.sum(
+        pbc.minimum_image(ins[:, :, None, :] - heavy_pos[None, None, :, :], box) ** 2,
+        axis=-1,
+    )  # (N, P, N)
+    n = heavy_pos.shape[0]
+    overl = (d2 > 0.0) & (d2 <= (vdw_radii * vdw_radii)[None, None, :])
+    overl = overl & ~(jnp.arange(n)[:, None, None] == jnp.arange(n)[None, None, :])
+    accessible = ~jnp.any(overl, axis=-1)
+    frac = jnp.sum(accessible, axis=-1) / n_points
+    sasa = frac * 4.0 * jnp.pi * (sol_radius + vdw_radii)
+    return ins, accessible, sasa
+
+
+@partial(jax.jit, static_argnames=("grid_points_per_axis",))
+def sphere_volumes(
+    pos: jnp.ndarray,
+    radii: jnp.ndarray,
+    dx: float,
+    grid_points_per_axis: int = 64,
+):
+    """Partitioned sphere volumes by voxel scan (waterlib.f90:144-187): each
+    voxel of the bounding grid is assigned to the nearest sphere that covers
+    it; volumes are voxel counts * dx^3. The grid is a static-size uniform
+    lattice over the bounding box (pass a grid_points_per_axis that gives
+    spacing <= dx for parity)."""
+    radii_sq = radii * radii
+    lo = jnp.min(pos - radii[:, None], axis=0)
+    hi = jnp.max(pos + radii[:, None], axis=0) + dx / 2
+    g = grid_points_per_axis
+    ax = [lo[d] + (hi[d] - lo[d]) * jnp.arange(g) / g for d in range(3)]
+    grid = jnp.stack(jnp.meshgrid(*ax, indexing="ij"), axis=-1).reshape(-1, 3)
+    cell_v = jnp.prod((hi - lo) / g)
+
+    def one_block(blk):
+        d2 = jnp.sum((blk[:, None, :] - pos[None, :, :]) ** 2, axis=-1)  # (B, N)
+        covered = d2 < radii_sq[None, :]
+        d2m = jnp.where(covered, d2, jnp.inf)
+        owner = jnp.argmin(d2m, axis=-1)
+        has = jnp.any(covered, axis=-1)
+        return owner.astype(jnp.int32), has
+
+    block = 4096
+    padded = jnp.concatenate(
+        [grid, jnp.full(((-grid.shape[0]) % block, 3), 1e9, grid.dtype)]
+    ) if grid.shape[0] % block else grid
+    owners, has = jax.lax.map(
+        one_block, padded.reshape(-1, block, 3)
+    )
+    owners = owners.reshape(-1)[: grid.shape[0]]
+    has = has.reshape(-1)[: grid.shape[0]]
+    counts = jnp.zeros(pos.shape[0], jnp.float32).at[
+        jnp.where(has, owners, 0)
+    ].add(has.astype(jnp.float32))
+    return counts * cell_v
