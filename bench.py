@@ -60,14 +60,32 @@ def main():
     ).astype(np.float32)
     boxes = np.tile(np.array([box_len] * 3, np.float32), (N_FRAMES, 1))
 
-    row_block = int(os.environ.get("BENCH_ROW_BLOCK", "1024"))
+    row_block = int(os.environ.get("BENCH_ROW_BLOCK", str(N_WATERS)))
+
+    # Prefer the fused Pallas kernel (TPU); fall back to the XLA path on
+    # platforms where Mosaic is unavailable.
+    use_pallas = os.environ.get("BENCH_IMPL", "pallas") == "pallas"
+    if use_pallas:
+        try:
+            from waterorderlib_tpu.ops.pallas.qtet_kernel import order_param_q_pallas
+
+            q_fn = lambda p, b: order_param_q_pallas(p, b, 0.0, HIGH_CUT)
+            jax.jit(q_fn)(
+                jnp.zeros((256, 3), jnp.float32), jnp.ones(3, jnp.float32)
+            )[0].block_until_ready()
+        except Exception:
+            use_pallas = False
+    if not use_pallas:
+        def q_fn(p, b):
+            q = qtet.order_param_q(p, p, b, 0.0, HIGH_CUT, row_block=row_block)
+            h = histograms.masked_histogram(q, jnp.ones_like(q, bool), 500, 0.0, 1.0)
+            return q, h
 
     @jax.jit
     def step(pos, boxes):
         def one_frame(carry, frame):
             p, b = frame
-            q = qtet.order_param_q(p, p, b, 0.0, HIGH_CUT, row_block=row_block)
-            h = histograms.masked_histogram(q, jnp.ones_like(q, bool), 500, 0.0, 1.0)
+            q, h = q_fn(p, b)
             return carry + h, jnp.mean(q)
 
         hist, means = jax.lax.scan(one_frame, jnp.zeros(500, jnp.float32), (pos, boxes))
@@ -80,13 +98,24 @@ def main():
     hist, means = step(pos_d, boxes_d)
     hist.block_until_ready()
 
+    # Each timed call gets a PERTURBED input and blocks individually: the
+    # remote-TPU runtime memoizes repeated identical dispatches, which
+    # otherwise produces fantasy throughput numbers.
     n_iters = 3
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        hist, means = step(pos_d, boxes_d)
-    hist.block_until_ready()
-    dt = time.perf_counter() - t0
-    fps = N_FRAMES * n_iters / dt
+    times = []
+    for it in range(n_iters):
+        pos_it = pos_d + jnp.float32(1e-3 * (it + 1))
+        pos_it.block_until_ready()
+        t0 = time.perf_counter()
+        hist, means = step(pos_it, boxes_d)
+        hist.block_until_ready()
+        times.append(time.perf_counter() - t0)
+        if os.environ.get("BENCH_DEBUG"):
+            print(
+                f"iter {it}: {times[-1]*1e3:.3f} ms, hist_sum={float(hist.sum())}, "
+                f"mean_q={float(means.mean()):.6f}", file=sys.stderr,
+            )
+    fps = N_FRAMES / float(np.median(times))
 
     baseline = measure_baseline()
     print(

@@ -96,3 +96,20 @@ def test_solvent_shells():
     first, second = pairs.solvent_shells(jnp.asarray(solute), jnp.asarray(solvent), 2.0, 5.0)
     assert list(np.asarray(first)) == [True, False, False]
     assert list(np.asarray(second)) == [False, True, False]
+
+
+def test_triplet_histogram_3d():
+    # bin widths chosen so no value sits on a bin edge
+    pos = np.array([[0.0, 0, 0], [2.0, 0, 0], [0.0, 2.0, 0]])
+    box = np.array([100.0, 100.0, 100.0])
+    h = np.asarray(
+        pairs.triplet_histogram_3d(
+            jnp.asarray(pos, jnp.float32), jnp.asarray(box, jnp.float32),
+            0.75, 6, 37.0, 5,
+        )
+    )
+    # center 0: d=2,2 -> bin ceil(2/.75)-1=2; angle 90 -> ceil(90/37)-1=2
+    assert h[2, 2, 2] == 1
+    # centers 1 and 2 (symmetric): d=2 (bin 2), d=2.828 (bin 3), angle 45
+    assert h[2, 3, 1] == 2
+    assert h.sum() == 3

@@ -1,0 +1,46 @@
+"""Parity tests for Pallas TPU kernels (run on TPU; skipped elsewhere,
+including the CPU mesh used by the rest of the suite)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+needs_tpu = pytest.mark.skipif(
+    jax.devices()[0].platform not in ("tpu",), reason="Pallas TPU kernel needs a TPU"
+)
+
+
+@needs_tpu
+def test_qtet_pallas_matches_xla():
+    from waterorderlib_tpu.ops.pallas.qtet_kernel import order_param_q_pallas
+    from waterorderlib_tpu.order import qtet
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n = 512
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    pos = jnp.asarray(water_oxygen_lattice(n, box_len, seed=7), jnp.float32)
+    box = jnp.asarray([box_len] * 3, dtype=jnp.float32)
+    qp, hist = order_param_q_pallas(pos, box, 0.0, 10.0)
+    qp = np.asarray(qp)
+    qr = np.asarray(qtet.order_param_q(pos, pos, box, 0.0, 10.0, row_block=n))
+    np.testing.assert_allclose(qp, qr, atol=1e-5)
+    # fused histogram matches a host histogram of the same q values
+    want_h, _ = np.histogram(qr, bins=500, range=(0.0, 1.0))
+    assert np.abs(np.asarray(hist) - want_h).sum() <= 4  # boundary-bin flips
+
+
+@needs_tpu
+def test_qtet_pallas_nondivisible_n():
+    from waterorderlib_tpu.ops.pallas.qtet_kernel import order_param_q_pallas
+    from waterorderlib_tpu.order import qtet
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n = 300  # not a multiple of the row tile
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    pos = jnp.asarray(water_oxygen_lattice(n, box_len, seed=8), jnp.float32)
+    box = jnp.asarray([box_len] * 3, dtype=jnp.float32)
+    qp = np.asarray(order_param_q_pallas(pos, box, 0.0, 10.0, row_tile=128)[0])
+    qr = np.asarray(qtet.order_param_q(pos, pos, box, 0.0, 10.0, row_block=n))
+    assert qp.shape == (n,)
+    np.testing.assert_allclose(qp, qr, atol=1e-5)

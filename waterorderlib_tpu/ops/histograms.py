@@ -33,6 +33,12 @@ def masked_histogram(
     idx = jnp.where(ok, jnp.clip(idx, 0, n_bins - 1), n_bins)
     flat_idx = idx.reshape(-1)
     flat_ok = ok.reshape(-1).astype(jnp.float32)
+    if flat_idx.shape[0] * n_bins <= (1 << 26):
+        # compare-reduce path: a (M, n_bins) equality matrix reduced over M
+        # is pure VPU work and far faster on TPU than a scatter-add
+        bins = jax.lax.broadcasted_iota(jnp.int32, (1, n_bins), 1)
+        eq = (flat_idx[:, None] == bins).astype(jnp.float32)
+        return jnp.sum(eq * flat_ok[:, None], axis=0)
     return jnp.zeros(n_bins + 1, jnp.float32).at[flat_idx].add(flat_ok)[:n_bins]
 
 

@@ -310,3 +310,108 @@ def solvent_shells(
     first = mind <= first_cut
     second = (mind > first_cut) & (mind <= second_cut)
     return first, second
+
+
+@partial(jax.jit, static_argnames=("nbins",))
+def radial_dist_plane(
+    pos1: jnp.ndarray,
+    pos2: jnp.ndarray,
+    box: jnp.ndarray,
+    binwidth: float,
+    nbins: int,
+) -> jnp.ndarray:
+    """2-D density histogram in the plane frame of 3 atoms; replaces
+    `RadialDistPlane` (waterlib.f90:237-314).
+
+    pos1: (3, 3) atoms defining the plane (Gram-Schmidt of the two edge
+    vectors from atom 0, plus their cross product); pos2: (N, 3) binned
+    atoms. Atoms are rotated into the plane frame, kept if within +-5 of the
+    plane along the normal, and ceiling-binned in (x, y). Counts are
+    returned unnormalized (the reference's normalization is commented out,
+    :310-312). NOTE (reference quirk, :288): pos2 is minimum-imaged about
+    the ORIGIN, not about the plane's position — reproduced as-is.
+    """
+    v1 = pos1[2] - pos1[0]
+    v2 = pos1[1] - pos1[0]
+    v3 = jnp.cross(v1, v2)
+    v1 = pbc.minimum_image(v1, box)
+    v2 = pbc.minimum_image(v2, box)
+    v3 = pbc.minimum_image(v3, box)
+    v2 = v2 - (jnp.sum(v1 * v2) / jnp.sum(v1 * v1)) * v1
+    q = jnp.stack(
+        [v1 / jnp.linalg.norm(v1), v2 / jnp.linalg.norm(v2), v3 / jnp.linalg.norm(v3)],
+        axis=0,
+    )  # rows = plane basis (the Fortran builds Q with basis in columns and
+    # left-multiplies; same operation)
+    ref_z = (q @ (pos1[0] - pos1[0]))[2]  # = 0, kept for clarity
+    p = pbc.minimum_image(pos2, box)
+    loc = p @ q.T  # (N, 3) coordinates in plane frame
+    in_slab = (loc[:, 2] <= ref_z + 5.0) & (loc[:, 2] >= ref_z - 5.0)
+    bx = jnp.ceil(loc[:, 0] / binwidth).astype(jnp.int32) - 1
+    by = jnp.ceil(loc[:, 1] / binwidth).astype(jnp.int32) - 1
+    ok = in_slab & (bx >= 0) & (bx < nbins) & (by >= 0) & (by < nbins)
+    flat = jnp.where(ok, bx * nbins + by, 0)
+    counts = jnp.zeros(nbins * nbins, jnp.float32).at[flat].add(
+        ok.astype(jnp.float32)
+    )
+    return counts.reshape(nbins, nbins)
+
+
+@partial(jax.jit, static_argnames=("d_num", "a_num"))
+def triplet_histogram_3d(
+    pos: jnp.ndarray,
+    box: jnp.ndarray,
+    dist_width: float,
+    d_num: int,
+    ang_width: float,
+    a_num: int,
+) -> jnp.ndarray:
+    """3-D histogram over (r_ij, r_ik, angle jik) triplets; replaces
+    `histrr3b` (waterlib.f90:1550-1593).
+
+    For every center i and unordered pair j < k (both != i), bins the two
+    center-neighbor distances and their 3-body angle with the reference's
+    exclusive-lower/inclusive-upper ceiling rule. Returns
+    (d_num, d_num, a_num) float32 counts. (Exactly-zero angles land below
+    the first bin and are dropped; the Fortran writes them out of bounds.)
+
+    O(N^3) work like the reference, but organized as a scan over centers
+    with an (N, N) angle block per center, all on device.
+    """
+    n = pos.shape[0]
+
+    def one_center(hist, ci):
+        rel = pbc.minimum_image(pos - pos[ci], box)  # (N, 3)
+        d = jnp.linalg.norm(rel, axis=-1)
+        db = jnp.ceil(d / dist_width).astype(jnp.int32) - 1  # (N,)
+        unit = rel / jnp.where(d > 0, d, 1.0)[:, None]
+        cosm = jnp.clip(
+            jnp.einsum("id,jd->ij", unit, unit, precision=jax.lax.Precision.HIGHEST),
+            -1.0, 1.0,
+        )
+        ang = jnp.degrees(jnp.arccos(cosm))
+        ab = jnp.ceil(ang / ang_width).astype(jnp.int32) - 1  # (N, N)
+        idx = jnp.arange(n)
+        not_center = idx != ci
+        pair_ok = (
+            (idx[:, None] < idx[None, :])
+            & not_center[:, None] & not_center[None, :]
+            & (db[:, None] >= 0) & (db[:, None] < d_num)
+            & (db[None, :] >= 0) & (db[None, :] < d_num)
+            & (ab >= 0) & (ab < a_num)
+        )
+        flat = (
+            jnp.clip(db[:, None], 0, d_num - 1) * (d_num * a_num)
+            + jnp.clip(db[None, :], 0, d_num - 1) * a_num
+            + jnp.clip(ab, 0, a_num - 1)
+        )
+        flat = jnp.where(pair_ok, flat, 0)
+        upd = jnp.zeros(d_num * d_num * a_num, jnp.float32).at[flat.reshape(-1)].add(
+            pair_ok.reshape(-1).astype(jnp.float32)
+        )
+        return hist + upd, None
+
+    hist, _ = jax.lax.scan(
+        one_center, jnp.zeros(d_num * d_num * a_num, jnp.float32), jnp.arange(n)
+    )
+    return hist.reshape(d_num, d_num, a_num)

@@ -45,6 +45,69 @@ def q_from_neighbors(
 
 
 @partial(jax.jit, static_argnames=("row_block",))
+def order_param_q_fused(
+    sub: jnp.ndarray,
+    pos: jnp.ndarray,
+    box: jnp.ndarray,
+    low_cut: float = 0.0,
+    high_cut: float = 10.0,
+    row_block: int = pairs.DEFAULT_ROW_BLOCK,
+) -> jnp.ndarray:
+    """Fused q computation: distance block -> iterative 4-minimum extraction
+    -> pair angles, in one pass per row block.
+
+    Numerically identical to order_param_q but avoids the sort-based
+    lax.top_k and the separate neighbor gather: for k = 4 rounds, the row
+    minimum of the masked distance block is located, its displacement vector
+    extracted with a one-hot reduction, and the slot masked out. This is
+    O(4N) VPU work per row instead of an O(N log N) sort, and the
+    displacement tensor is consumed in-place — the hot path of the
+    benchmark (replaces waterlib.f90:830-862 + water_properties.py:364-388).
+    """
+    n = pos.shape[0]
+    low_sq = low_cut * low_cut
+    high_sq = high_cut * high_cut
+
+    def one_block(rows):
+        disp = pbc.minimum_image(pos[None, :, :] - rows[:, None, :], box)  # (B,N,3)
+        dsq = jnp.sum(disp * disp, axis=-1)  # (B, N)
+        valid = (dsq > low_sq) & (dsq <= high_sq)
+        count = jnp.sum(valid, axis=-1)
+        d = jnp.where(valid, dsq, jnp.inf)
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        vecs = []
+        oks = []
+        for _ in range(4):
+            m = jnp.min(d, axis=1, keepdims=True)  # (B,1)
+            eq = (d == m) & jnp.isfinite(d)
+            # first occurrence on ties
+            first_col = jnp.min(jnp.where(eq, col, n), axis=1, keepdims=True)
+            first = eq & (col == first_col)
+            w = first.astype(disp.dtype)
+            v = jnp.einsum("bn,bnd->bd", w, disp)
+            vecs.append(v)
+            oks.append(jnp.any(first, axis=1))
+            d = jnp.where(first, jnp.inf, d)
+        v4 = jnp.stack(vecs, axis=1)  # (B, 4, 3)
+        ok4 = jnp.stack(oks, axis=1)  # (B, 4)
+        norm = jnp.linalg.norm(v4, axis=-1)
+        unit = v4 / jnp.where(norm > 0, norm, 1.0)[..., None]
+        cosmat = jnp.einsum(
+            "bid,bjd->bij", unit, unit, precision=jax.lax.Precision.HIGHEST
+        )
+        cos_pairs = cosmat[:, _PAIR_I, _PAIR_J]
+        pair_ok = ok4[:, _PAIR_I] & ok4[:, _PAIR_J]
+        cos_pairs = jnp.where(pair_ok, cos_pairs, -1.0)
+        q = 1.0 - (3.0 / 8.0) * jnp.sum((cos_pairs + 1.0 / 3.0) ** 2, axis=-1)
+        return jnp.where(count > 0, q, 0.0)
+
+    block = min(row_block, max(1, sub.shape[0]))
+    padded, ns = pairs._pad_rows(sub, block)
+    q = jax.lax.map(one_block, pairs._block_rows(padded, block))
+    return q.reshape(-1)[:ns]
+
+
+@partial(jax.jit, static_argnames=("row_block",))
 def order_param_q(
     sub: jnp.ndarray,
     pos: jnp.ndarray,

@@ -33,6 +33,8 @@ def block_average(
     """95% bootstrap CI of the mean of a frame series
     (orderParam_lib.py:394-417). Deterministic when `seed` is given."""
     vals = np.asarray(vals, dtype=np.float64)
+    # short series: fewer blocks than the default, else empty blocks -> NaN
+    n_blocks = max(1, min(n_blocks, len(vals)))
     len_block = len(vals) / n_blocks
     blocks = np.array(
         [np.mean(vals[int(i * len_block) : int((i + 1) * len_block)]) for i in range(n_blocks)]
