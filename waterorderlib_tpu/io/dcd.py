@@ -74,14 +74,18 @@ def read_dcd(path: str, stride: int = 1) -> Trajectory:
 
     def record():
         nonlocal off
+        if off + 4 > len(data):
+            raise ValueError(f"{path}: truncated DCD record header")
         (n,) = struct.unpack_from("<i", data, off)
+        if n < 0 or off + 8 + n > len(data):
+            raise ValueError(f"{path}: corrupt DCD record (length {n})")
         off += 4
         payload = data[off : off + n]
         off += n
         (n2,) = struct.unpack_from("<i", data, off)
         off += 4
         if n2 != n:
-            raise ValueError("corrupt DCD record framing")
+            raise ValueError(f"{path}: corrupt DCD record framing")
         return payload
 
     header = record()

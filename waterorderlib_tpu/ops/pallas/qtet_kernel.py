@@ -178,3 +178,133 @@ def order_param_q_pallas(
         ),
     )(scalars, pos_t)
     return out.reshape(-1)[:n], hist[0, :_N_QBINS]
+
+
+def _qtet_frames_kernel(
+    scalars_ref, boxes_ref, pos_t_ref, out_ref, dx_ref, dy_ref, dz_ref, dsq_ref
+):
+    f = pl.program_id(0)
+    i = pl.program_id(1)
+    r = dx_ref.shape[0]
+    n = pos_t_ref.shape[2]
+    n_real = scalars_ref[0].astype(jnp.int32)
+    low_sq = scalars_ref[1]
+    high_sq = scalars_ref[2]
+    box_x = boxes_ref[f, 0]
+    box_y = boxes_ref[f, 1]
+    box_z = boxes_ref[f, 2]
+
+    row0 = i * r
+    xs = pos_t_ref[0, 0, :].reshape(1, n)
+    ys = pos_t_ref[0, 1, :].reshape(1, n)
+    zs = pos_t_ref[0, 2, :].reshape(1, n)
+    xr = pos_t_ref[0, 0, pl.ds(row0, r)].reshape(r, 1)
+    yr = pos_t_ref[0, 1, pl.ds(row0, r)].reshape(r, 1)
+    zr = pos_t_ref[0, 2, pl.ds(row0, r)].reshape(r, 1)
+
+    def mi(d, box_l):
+        ib = jnp.where(box_l > 0, 1.0 / jnp.where(box_l > 0, box_l, 1.0), 0.0)
+        return d - box_l * jnp.round(d * ib)
+
+    dx = mi(xs - xr, box_x)
+    dy = mi(ys - yr, box_y)
+    dz = mi(zs - zr, box_z)
+    dsq = dx * dx + dy * dy + dz * dz
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
+    valid = (dsq > low_sq) & (dsq <= high_sq) & (col < n_real)
+    count = jnp.sum(valid.astype(jnp.float32), axis=1, keepdims=True)
+
+    dx_ref[:] = dx
+    dy_ref[:] = dy
+    dz_ref[:] = dz
+    dsq_ref[:] = jnp.where(valid, dsq, jnp.inf)
+
+    big = jnp.int32(n)
+    units = []
+    oks = []
+    for _ in range(4):
+        d = dsq_ref[:]
+        m = jnp.min(d, axis=1, keepdims=True)
+        eq = (d == m) & jnp.isfinite(d)
+        first_col = jnp.min(jnp.where(eq, col, big), axis=1, keepdims=True)
+        first = eq & (col == first_col)
+        w = first.astype(jnp.float32)
+        vx = jnp.sum(w * dx_ref[:], axis=1, keepdims=True)
+        vy = jnp.sum(w * dy_ref[:], axis=1, keepdims=True)
+        vz = jnp.sum(w * dz_ref[:], axis=1, keepdims=True)
+        ok = jnp.sum(w, axis=1, keepdims=True) > 0
+        nrm = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+        inv = jnp.where(nrm > 0, 1.0 / jnp.where(nrm > 0, nrm, 1.0), 0.0)
+        units.append((vx * inv, vy * inv, vz * inv))
+        oks.append(ok)
+        dsq_ref[:] = jnp.where(first, jnp.inf, d)
+
+    ssum = jnp.zeros((r, 1), jnp.float32)
+    for a in range(4):
+        for b in range(a + 1, 4):
+            ca, cb = units[a], units[b]
+            cosv = ca[0] * cb[0] + ca[1] * cb[1] + ca[2] * cb[2]
+            pair_ok = oks[a] & oks[b]
+            cosv = jnp.where(pair_ok, jnp.clip(cosv, -1.0, 1.0), -1.0)
+            ssum = ssum + (cosv + 1.0 / 3.0) ** 2
+    q = 1.0 - 0.375 * ssum
+    q = jnp.where(count > 0, q, 0.0)
+    out_ref[0, pl.ds(i, 1), :] = q.reshape(1, r)
+
+
+@partial(jax.jit, static_argnames=("row_tile",))
+def order_param_q_pallas_frames(
+    pos: jnp.ndarray,
+    boxes: jnp.ndarray,
+    low_cut: float = 0.0,
+    high_cut: float = 10.0,
+    row_tile: int = 128,
+):
+    """Whole-trajectory q_tet in ONE kernel launch: grid over
+    (frames, row tiles), per-frame boxes from SMEM, global q histogram
+    accumulated across every grid step.
+
+    pos: (F, N, 3); boxes: (F, 3). Returns (q (F, N), hist (500,)).
+    """
+    f_frames, n = pos.shape[0], pos.shape[1]
+    n_pad = -(-n // row_tile) * row_tile
+    pos_p = jnp.pad(pos, ((0, 0), (0, n_pad - n), (0, 0)))
+    pos_t = jnp.transpose(pos_p, (0, 2, 1)).astype(jnp.float32)  # (F, 3, Npad)
+
+    scalars = jnp.array(
+        [jnp.float32(n), jnp.float32(low_cut * low_cut), jnp.float32(high_cut * high_cut)],
+        dtype=jnp.float32,
+    )
+    n_tiles = n_pad // row_tile
+    out = pl.pallas_call(
+        _qtet_frames_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(f_frames, n_tiles),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 3, n_pad), lambda f, i, s1, s2: (f, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, n_tiles, row_tile), lambda f, i, s1, s2: (f, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((row_tile, n_pad), jnp.float32),
+                pltpu.VMEM((row_tile, n_pad), jnp.float32),
+                pltpu.VMEM((row_tile, n_pad), jnp.float32),
+                pltpu.VMEM((row_tile, n_pad), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((f_frames, n_tiles, row_tile), jnp.float32),
+    )(scalars, boxes.astype(jnp.float32), pos_t)
+    q = out.reshape(f_frames, -1)[:, :n]
+    # q histogram over [0, 1]: one vectorized pass over the full trajectory
+    # is far cheaper than accumulating inside the kernel (which serializes
+    # the grid on the shared histogram block)
+    from waterorderlib_tpu.ops import histograms as _hist
+
+    hist = _hist.masked_histogram(q, jnp.ones_like(q, bool), _N_QBINS, 0.0, 1.0)
+    return q, hist
