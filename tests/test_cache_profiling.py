@@ -1,0 +1,33 @@
+"""Tests for the bound/wrap cache and the stage timer."""
+
+import numpy as np
+
+from waterorderlib_tpu.drivers.cache import cached_bound_wrap
+from waterorderlib_tpu.io.synthetic import make_water_box
+from waterorderlib_tpu.utils.profiling import StageTimer
+
+
+def test_cached_bound_wrap_roundtrip(tmp_path):
+    top, traj = make_water_box(24, n_frames=3, seed=51, solute_elements=["C", "O"])
+    p = str(tmp_path / "bw.npz")
+    first = cached_bound_wrap(p, top, traj)
+    assert len(first) == 3
+    # second call must hit the cache and return identical indices
+    again = cached_bound_wrap(p, top, traj)
+    for a, b in zip(first, again):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+    # different cutoff -> cache invalidated, result may differ in size
+    other = cached_bound_wrap(p, top, traj, cutoff=6.0)
+    assert len(other) == 3
+    assert len(other[0][2]) >= len(first[0][2])  # larger shell at 6 A
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("a"):
+        sum(range(1000))
+    with t.stage("b"):
+        pass
+    rep = t.report(n_frames=10)
+    assert "a" in rep and "frames/s" in rep

@@ -44,3 +44,27 @@ def test_qtet_pallas_nondivisible_n():
     qr = np.asarray(qtet.order_param_q(pos, pos, box, 0.0, 10.0, row_block=n))
     assert qp.shape == (n,)
     np.testing.assert_allclose(qp, qr, atol=1e-5)
+
+
+@needs_tpu
+def test_qtet_sorted_matches_brute():
+    from waterorderlib_tpu.ops.pallas.qtet_sorted import order_param_q_pallas_sorted
+    from waterorderlib_tpu.ops.pallas.qtet_kernel import order_param_q_pallas_frames
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n, f = 1024, 2
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    rs = np.random.RandomState(3)
+    base = water_oxygen_lattice(n, box_len, seed=3)
+    pos = jnp.asarray(
+        np.stack([np.mod(base + rs.normal(scale=0.1, size=base.shape), box_len)
+                  for _ in range(f)]), jnp.float32)
+    boxes = jnp.asarray(np.tile(np.array([box_len] * 3, np.float32), (f, 1)))
+    q_s, ok, covered = order_param_q_pallas_sorted(pos, boxes, window=1280, pad=256)
+    q_b, _ = order_param_q_pallas_frames(pos, boxes)
+    assert bool(np.all(np.asarray(covered)))
+    ok_np = np.asarray(ok)
+    assert ok_np.mean() > 0.999
+    np.testing.assert_allclose(
+        np.asarray(q_s)[ok_np], np.asarray(q_b)[ok_np], atol=1e-5
+    )
