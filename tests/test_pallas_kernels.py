@@ -60,7 +60,7 @@ def test_qtet_sorted_matches_brute():
         np.stack([np.mod(base + rs.normal(scale=0.1, size=base.shape), box_len)
                   for _ in range(f)]), jnp.float32)
     boxes = jnp.asarray(np.tile(np.array([box_len] * 3, np.float32), (f, 1)))
-    q_s, ok, covered = order_param_q_pallas_sorted(pos, boxes, window=1280, pad=256)
+    q_s, ok, covered = order_param_q_pallas_sorted(pos, boxes, window=896, pad=256)
     q_b, _ = order_param_q_pallas_frames(pos, boxes)
     assert bool(np.all(np.asarray(covered)))
     ok_np = np.asarray(ok)

@@ -351,3 +351,15 @@ def get_neighbor_stats(
         header="coordination    frequency", fmt="%.3e",
     )
     return blocks.mean_and_ci(np.asarray(means), seed=seed)
+
+
+def bound_wrap_func1(top_file, traj, frame_index: int = 0, cutoff: float = 4.6):
+    """One-call wrapper matching boundWrap.func1
+    (/root/reference/structureLibs/boundWrap.py:3-14): returns
+    [boundInds, wrapInds, shellInds, nonShellInds] for one frame at the
+    4.6 A cutoff. (The reference imports a .pyc-only dev module for this;
+    the underlying computation is getBoundWrap.)"""
+    bound, wrap, shell, non_shell = get_bound_wrap(
+        top_file, traj, frame_index=frame_index, cutoff=cutoff
+    )
+    return [bound, wrap, shell, non_shell]

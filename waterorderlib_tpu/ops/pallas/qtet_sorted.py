@@ -157,7 +157,9 @@ def order_param_q_pallas_sorted(
         raise ValueError("row_tile remainder exceeds the boundary pad")
     ext_z = ext[..., 2]
     n_ext = ext.shape[1]
-    w = min(window, n_ext)
+    # the window must never exceed N sorted atoms: a wider window can hold an
+    # atom AND its periodic boundary copy, double-counting that neighbor
+    w = min(window, n_ext, (n // 128) * 128)
 
     # per-tile window starts (left edge of the slab) + coverage check
     tile_first = jnp.arange(n_tiles) * row_tile
