@@ -46,8 +46,10 @@ def _qtet_kernel(scalars_ref, pos_t_ref, out_ref, hist_ref, dx_ref, dy_ref, dz_r
     zr = pos_t_ref[2, pl.ds(row0, r)].reshape(r, 1)
 
     def mi(d, box_l):
-        ib = jnp.where(box_l > 0, 1.0 / jnp.where(box_l > 0, box_l, 1.0), 0.0)
-        return d - box_l * jnp.round(d * ib)
+        # coordinates are pre-wrapped into [0, L) by the wrapper, so |d| < L
+        # and two compare-selects replace the costlier round()
+        d = jnp.where(d > box_l * 0.5, d - box_l, d)
+        return jnp.where(d < -box_l * 0.5, d + box_l, d)
 
     dx = mi(xs - xr, box_x)
     dy = mi(ys - yr, box_y)
@@ -135,6 +137,7 @@ def order_param_q_pallas(
     """
     n = pos.shape[0]
     n_pad = -(-n // row_tile) * row_tile
+    pos = jnp.mod(pos, box[None, :])  # select-mi in-kernel needs [0, L)
     # pad columns with zeros; excluded in-kernel via the n_real scalar
     pos_p = jnp.pad(pos, ((0, n_pad - n), (0, 0)))
     pos_t = jnp.transpose(pos_p).astype(jnp.float32)  # (3, Npad)
@@ -203,8 +206,10 @@ def _qtet_frames_kernel(
     zr = pos_t_ref[0, 2, pl.ds(row0, r)].reshape(r, 1)
 
     def mi(d, box_l):
-        ib = jnp.where(box_l > 0, 1.0 / jnp.where(box_l > 0, box_l, 1.0), 0.0)
-        return d - box_l * jnp.round(d * ib)
+        # coordinates are pre-wrapped into [0, L) by the wrapper, so |d| < L
+        # and two compare-selects replace the costlier round()
+        d = jnp.where(d > box_l * 0.5, d - box_l, d)
+        return jnp.where(d < -box_l * 0.5, d + box_l, d)
 
     dx = mi(xs - xr, box_x)
     dy = mi(ys - yr, box_y)
@@ -269,6 +274,7 @@ def order_param_q_pallas_frames(
     """
     f_frames, n = pos.shape[0], pos.shape[1]
     n_pad = -(-n // row_tile) * row_tile
+    pos = jnp.mod(pos, boxes[:, None, :])  # select-mi in-kernel needs [0, L)
     pos_p = jnp.pad(pos, ((0, 0), (0, n_pad - n), (0, 0)))
     pos_t = jnp.transpose(pos_p, (0, 2, 1)).astype(jnp.float32)  # (F, 3, Npad)
 
