@@ -31,3 +31,20 @@ def test_stage_timer():
         pass
     rep = t.report(n_frames=10)
     assert "a" in rep and "frames/s" in rep
+
+
+def test_analysis_config_roundtrip(tmp_path):
+    from waterorderlib_tpu.config import AnalysisConfig
+
+    cfg = AnalysisConfig(hb_dist=3.2, stride=4)
+    p = str(tmp_path / "cfg.json")
+    cfg.to_json(p)
+    cfg2 = AnalysisConfig.from_json(p)
+    assert cfg2 == cfg
+    # unknown keys rejected
+    import json, pytest
+
+    bad = dict(hb_dist=1.0, nonsense=True)
+    (tmp_path / "bad.json").write_text(json.dumps(bad))
+    with pytest.raises(ValueError):
+        AnalysisConfig.from_json(str(tmp_path / "bad.json"))

@@ -142,16 +142,39 @@ def tet_order_calc(
     masks = jnp.asarray(np.concatenate([all_mask, pops], axis=1))  # (F, P+1, Nw)
     n_bins, lo, hi = 500, 0.0, 1.0
 
-    def step(hist, frame):
-        pos, box, mask = frame
-        q = qtet.order_param_q(pos, pos, box, low_cut, high_cut, row_block)  # (Nw,)
-        mean, var = histograms.masked_mean_var(q[None, :], mask)  # (P+1,)
-        h = jax.vmap(lambda m: histograms.masked_histogram(q, m, n_bins, lo, hi))(mask)
-        return hist + h, (mean, var)
+    # On TPU the fused Pallas kernel computes q for all waters per frame;
+    # populations are masked reductions over the same values (identical by
+    # construction — q per center is subset-independent).
+    use_pallas = jax.devices()[0].platform == "tpu" and nw >= 2 * row_block
+    if use_pallas:
+        from waterorderlib_tpu.ops.pallas.qtet_kernel import order_param_q_pallas_frames
 
-    hist, (avg_q, var_q) = _scan_frames(
-        step, jnp.zeros((n_pops + 1, n_bins), jnp.float32), wat_pos, boxes, masks
-    )
+        @jax.jit
+        def run_pallas(wat_pos, boxes, masks):
+            q_all, _ = order_param_q_pallas_frames(wat_pos, boxes, low_cut, high_cut)
+
+            def per_frame(q, mask):
+                mean, var = histograms.masked_mean_var(q[None, :], mask)
+                h = jax.vmap(
+                    lambda m: histograms.masked_histogram(q, m, n_bins, lo, hi)
+                )(mask)
+                return mean, var, h
+
+            means, vars_, hists = jax.vmap(per_frame)(q_all, masks)
+            return jnp.sum(hists, axis=0), (means, vars_)
+
+        hist, (avg_q, var_q) = run_pallas(wat_pos, boxes, masks)
+    else:
+        def step(hist, frame):
+            pos, box, mask = frame
+            q = qtet.order_param_q(pos, pos, box, low_cut, high_cut, row_block)  # (Nw,)
+            mean, var = histograms.masked_mean_var(q[None, :], mask)  # (P+1,)
+            h = jax.vmap(lambda m: histograms.masked_histogram(q, m, n_bins, lo, hi))(mask)
+            return hist + h, (mean, var)
+
+        hist, (avg_q, var_q) = _scan_frames(
+            step, jnp.zeros((n_pops + 1, n_bins), jnp.float32), wat_pos, boxes, masks
+        )
     hist = np.asarray(hist)
     for j in range(n_pops + 1):
         _save_hist(
