@@ -115,7 +115,7 @@ def _make_sorted_kernel(pad: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("row_tile", "window", "pad"))
+@partial(jax.jit, static_argnames=("row_tile", "window", "pad", "unsort"))
 def order_param_q_pallas_sorted(
     pos: jnp.ndarray,
     boxes: jnp.ndarray,
@@ -125,6 +125,7 @@ def order_param_q_pallas_sorted(
     row_tile: int = 128,
     window: int = 1280,
     pad: int = 512,
+    unsort: bool = True,
 ):
     """Slab-pruned q for a whole trajectory.
 
@@ -217,7 +218,10 @@ def order_param_q_pallas_sorted(
 
     q_sorted = out.reshape(F, -1)[:, :n]
     ok_sorted = ok.reshape(F, -1)[:, :n] > 0
-    # scatter back to original atom order
+    if not unsort:
+        # order-invariant consumers (histograms, means) can skip the
+        # scatter back to original atom order
+        return q_sorted, ok_sorted, covered
     q_orig = jax.vmap(lambda idx, src: jnp.zeros_like(src).at[idx].set(src))(order, q_sorted)
     ok_orig = jax.vmap(lambda idx, src: jnp.zeros_like(src).at[idx].set(src))(order, ok_sorted)
     return q_orig, ok_orig, covered
