@@ -72,18 +72,9 @@ def angle_histogram(
     """Histogram of valid angles with numpy-histogram bin semantics
     ([lo,hi] split into n_bins, right-inclusive last bin), matching
     np.histogram in tetrahedralMetrics (wp:325)."""
-    width = (hi - lo) / n_bins
-    v = angles.ang
-    idx = jnp.floor((v - lo) / width).astype(jnp.int32)
-    idx = jnp.where((v >= hi) & (v <= hi), n_bins - 1, idx)  # right edge into last bin
-    ok = angles.valid & (v >= lo) & (v <= hi)
-    idx = jnp.clip(idx, 0, n_bins - 1)
-    idx = jnp.where(ok, idx, n_bins)
-    return (
-        jnp.zeros(n_bins + 1, jnp.float32)
-        .at[idx.reshape(-1)]
-        .add(ok.reshape(-1).astype(jnp.float32))[:n_bins]
-    )
+    from waterorderlib_tpu.ops.histograms import masked_histogram
+
+    return masked_histogram(angles.ang, angles.valid, n_bins, lo, hi)
 
 
 class TetMetrics(NamedTuple):
