@@ -68,3 +68,21 @@ def test_qtet_sorted_matches_brute():
     np.testing.assert_allclose(
         np.asarray(q_s)[ok_np], np.asarray(q_b)[ok_np], atol=1e-5
     )
+
+
+@needs_tpu
+def test_tet_order_calc_pallas_path(tmp_path):
+    """The driver routes through the fused kernel on TPU when nw >= 2*row_block;
+    population statistics must match the XLA path."""
+    from waterorderlib_tpu.io.synthetic import make_water_box
+    from waterorderlib_tpu.drivers.orderparams import tet_order_calc
+
+    top, traj = make_water_box(600, n_frames=4, seed=91)
+    wat_inds, _, _ = top.get_wat_inds()
+    sub = [[wat_inds[:50]] for _ in range(4)]
+    a1, v1 = tet_order_calc(top, traj, sub_inds=sub, n_pops=1,
+                            output_dir=str(tmp_path), row_block=256)  # pallas
+    a2, v2 = tet_order_calc(top, traj, sub_inds=sub, n_pops=1,
+                            output_dir=str(tmp_path), row_block=600)  # xla
+    np.testing.assert_allclose(a1[0], a2[0], atol=1e-5)
+    np.testing.assert_allclose(v1[0], v2[0], atol=1e-5)
