@@ -101,21 +101,26 @@ def main():
     # Each timed call gets a PERTURBED input and blocks individually: the
     # remote-TPU runtime memoizes repeated identical dispatches, which
     # otherwise produces fantasy throughput numbers.
-    n_iters = 3
+    n_iters = 5
     times = []
     for it in range(n_iters):
         pos_it = pos_d + jnp.float32(1e-3 * (it + 1))
-        pos_it.block_until_ready()
+        _ = np.asarray(pos_it[0, :4])  # host fetch: the only reliable barrier
         t0 = time.perf_counter()
         hist, means = step(pos_it, boxes_d)
-        hist.block_until_ready()
+        _ = np.asarray(hist[-8:])  # host fetch: block_until_ready can return
+        # before real execution on this remote runtime
         times.append(time.perf_counter() - t0)
         if os.environ.get("BENCH_DEBUG"):
             print(
                 f"iter {it}: {times[-1]*1e3:.3f} ms, hist_sum={float(hist.sum())}, "
                 f"mean_q={float(means.mean()):.6f}", file=sys.stderr,
             )
-    fps = N_FRAMES / float(np.median(times))
+    # drop the first iteration (residual compile/warm-up jitter) and any
+    # memoized dispatch (sub-ms "executions" of a multi-frame batch), then
+    # report the median honest run
+    honest = [t for t in times[1:] if t > N_FRAMES * 1e-4] or times
+    fps = N_FRAMES / float(np.median(honest))
 
     baseline = measure_baseline()
     print(
