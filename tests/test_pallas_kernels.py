@@ -86,3 +86,21 @@ def test_tet_order_calc_pallas_path(tmp_path):
                             output_dir=str(tmp_path), row_block=600)  # xla
     np.testing.assert_allclose(a1[0], a2[0], atol=1e-5)
     np.testing.assert_allclose(v1[0], v2[0], atol=1e-5)
+
+
+@needs_tpu
+def test_willard_pallas_matches_xla():
+    from waterorderlib_tpu.ops.pallas.willard_kernel import willard_density_points_pallas
+    from waterorderlib_tpu.density import fields
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n = 512
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    pos = jnp.asarray(water_oxygen_lattice(n, box_len, seed=21), jnp.float32)
+    box = jnp.asarray([box_len] * 3, dtype=jnp.float32)
+    rs = np.random.RandomState(2)
+    pts = jnp.asarray(rs.uniform(0, box_len, (1000, 3)), jnp.float32)
+    d_p, n_p = willard_density_points_pallas(pos, pts, box, 2.4)
+    d_x, n_x = fields.willard_density_points(pos, pts, box, 2.4, row_block=1000)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(n_p), np.asarray(n_x), atol=1e-4)
