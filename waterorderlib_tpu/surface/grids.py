@@ -61,11 +61,25 @@ def density_grid(
     spacing = span[1] - span[0]
     g = span[:-1] + spacing  # the reference drops the first edge (:192-194)
     n = len(g)
-    dens, _ = fields.willard_density_field(
-        jnp.asarray(wat_pos, jnp.float32),
-        jnp.asarray(g, jnp.float32), jnp.asarray(g, jnp.float32), jnp.asarray(g, jnp.float32),
-        jnp.asarray(box, jnp.float32).reshape(-1), smoothlen, nx=n, ny=n, nz=n,
-    )
+    import jax
+
+    if jax.devices()[0].platform == "tpu":
+        from waterorderlib_tpu.ops.pallas.willard_kernel import (
+            willard_density_points_pallas,
+        )
+
+        pts = jnp.asarray(fields.make_grid(g, g, g), jnp.float32)
+        dens, _ = willard_density_points_pallas(
+            jnp.asarray(wat_pos, jnp.float32), pts,
+            jnp.asarray(box, jnp.float32).reshape(-1), smoothlen,
+        )
+        dens = dens.reshape(n, n, n)
+    else:
+        dens, _ = fields.willard_density_field(
+            jnp.asarray(wat_pos, jnp.float32),
+            jnp.asarray(g, jnp.float32), jnp.asarray(g, jnp.float32), jnp.asarray(g, jnp.float32),
+            jnp.asarray(box, jnp.float32).reshape(-1), smoothlen, nx=n, ny=n, nz=n,
+        )
     verts, faces = marching_tetrahedra(
         np.asarray(dens), level, spacing=(spacing,) * 3, origin=(0.0, 0.0, 0.0)
     )
