@@ -237,3 +237,110 @@ def suggest_window(n: int, box_z: float, margin: float = 4.5, row_tile: int = 12
     slab = tile_extent + 2.0 * margin
     est = n * slab / box_z * safety + 256  # + alignment slack
     return int(-(-est // 128) * 128)
+
+
+@partial(jax.jit, static_argnames=("row_tile", "window", "pad", "unsort"))
+def order_param_q_pallas_traj(
+    pos: jnp.ndarray,
+    boxes: jnp.ndarray,
+    low_cut: float = 0.0,
+    high_cut: float = 10.0,
+    margin: float = 4.5,
+    row_tile: int = 128,
+    window: int = 1536,
+    pad: int = 512,
+    unsort: bool = True,
+):
+    """Trajectory variant with a persistent frame-0 z-ordering.
+
+    For MD trajectories atoms drift slowly, so the frame-0 sort order stays
+    approximately z-sorted for every frame. This removes the per-frame
+    argsort/searchsorted prep: one ordering, one gather, and frame-0 window
+    starts whose margin is inflated by twice the measured maximum z-drift
+    (a candidate within `margin` of a row atom at frame t lies within
+    margin + 2*drift of the frame-0 z coordinates, which ARE sorted).
+
+    Exactness is still *certified*, not assumed: the per-atom `ok` flag
+    tests the actual 4th-neighbor distance against `margin`, and `covered`
+    checks window coverage at the inflated margin. Returns
+    (q (F, N), ok (F, N), covered (F,)).
+    """
+    F, n = pos.shape[0], pos.shape[1]
+    n_pad_rows = -(-n // row_tile) * row_tile
+    n_tiles = n_pad_rows // row_tile
+    L = boxes[:, 2][:, None]
+
+    wrapped = jnp.mod(pos, boxes[:, None, :])
+    z0 = wrapped[0, :, 2]
+    order0 = jnp.argsort(z0)  # one sort for the whole trajectory
+    sp = wrapped[:, order0, :]  # (F, N, 3)
+    zs = sp[..., 2]
+    drift = jnp.max(jnp.abs(zs - zs[0:1]))  # max |z_t - z_0| over atoms
+    margin_eff = margin + 2.0 * drift
+
+    z_shift = jnp.concatenate(
+        [jnp.zeros((F, pad, 2), sp.dtype), L[:, :, None] * jnp.ones((F, pad, 1), sp.dtype)],
+        axis=-1,
+    )
+    ext = jnp.concatenate([sp[:, -pad:, :] - z_shift, sp, sp[:, :pad, :] + z_shift], axis=1)
+    if n_pad_rows - n > pad:
+        raise ValueError("row_tile remainder exceeds the boundary pad")
+    n_ext = ext.shape[1]
+    w = min(window, n_ext, (n // 128) * 128)
+
+    # frame-0 extended z (truly sorted) drives all window starts
+    ext_z0 = ext[0, :, 2]
+    tile_first = jnp.arange(n_tiles) * row_tile
+    tile_last = jnp.minimum(tile_first + row_tile - 1, n - 1)
+    z_lo = zs[0][tile_first] - margin_eff
+    z_hi = zs[0][tile_last] + margin_eff
+    starts = jnp.searchsorted(ext_z0, z_lo, side="left")
+    ends = jnp.searchsorted(ext_z0, z_hi, side="right")
+    starts = (starts // 128) * 128
+    starts = jnp.clip(starts, 0, n_ext - w)
+    covered_all = jnp.all(ends - starts <= w)
+    covered = jnp.broadcast_to(covered_all, (F,))
+    starts_f = jnp.broadcast_to(((starts // 128).astype(jnp.int32))[None, :], (F, n_tiles))
+
+    ext_t = jnp.transpose(ext, (0, 2, 1)).astype(jnp.float32)
+    scalars = jnp.array(
+        [np.float32(n), np.float32(low_cut * low_cut), np.float32(high_cut * high_cut),
+         np.float32(pad), np.float32(margin * margin)],
+        dtype=jnp.float32,
+    )
+    out, ok = pl.pallas_call(
+        _make_sorted_kernel(pad),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(F, n_tiles),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 3, n_ext), lambda f, i, s1, s2, s3: (f, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (1, n_tiles, row_tile), lambda f, i, s1, s2, s3: (f, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, n_tiles, row_tile), lambda f, i, s1, s2, s3: (f, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            scratch_shapes=[pltpu.VMEM((row_tile, w), jnp.float32)] * 4,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((F, n_tiles, row_tile), jnp.float32),
+            jax.ShapeDtypeStruct((F, n_tiles, row_tile), jnp.float32),
+        ),
+    )(scalars, boxes.astype(jnp.float32), starts_f, ext_t)
+
+    q_sorted = out.reshape(F, -1)[:, :n]
+    ok_sorted = ok.reshape(F, -1)[:, :n] > 0
+    if not unsort:
+        return q_sorted, ok_sorted, covered
+    q_orig = jax.vmap(lambda src: jnp.zeros_like(src).at[order0].set(src))(q_sorted)
+    ok_orig = jax.vmap(lambda src: jnp.zeros_like(src).at[order0].set(src))(ok_sorted)
+    return q_orig, ok_orig, covered
