@@ -104,3 +104,25 @@ def test_willard_pallas_matches_xla():
     d_x, n_x = fields.willard_density_points(pos, pts, box, 2.4, row_block=1000)
     np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=1e-6)
     np.testing.assert_allclose(np.asarray(n_p), np.asarray(n_x), atol=1e-4)
+
+
+@needs_tpu
+def test_qtet_traj_kernel_certified():
+    from waterorderlib_tpu.ops.pallas.qtet_sorted import order_param_q_pallas_traj
+    from waterorderlib_tpu.ops.pallas.qtet_kernel import order_param_q_pallas_frames
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n, f = 1024, 3
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    rs = np.random.RandomState(5)
+    base = water_oxygen_lattice(n, box_len, seed=5)
+    pos = jnp.asarray(
+        np.stack([np.mod(base + rs.normal(scale=0.1, size=base.shape), box_len)
+                  for _ in range(f)]), jnp.float32)
+    boxes = jnp.asarray(np.tile(np.array([box_len] * 3, np.float32), (f, 1)))
+    q_s, ok, covered = order_param_q_pallas_traj(pos, boxes, window=896, pad=256)
+    q_b, _ = order_param_q_pallas_frames(pos, boxes)
+    assert bool(np.all(np.asarray(covered)))
+    ok_np = np.asarray(ok)
+    assert ok_np.mean() > 0.999
+    np.testing.assert_allclose(np.asarray(q_s)[ok_np], np.asarray(q_b)[ok_np], atol=1e-5)
