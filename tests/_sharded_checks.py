@@ -1,0 +1,88 @@
+"""Standalone sharded-parity checks, run in a CPU-pinned subprocess.
+
+The test harness environment pre-imports jax with the TPU plugin before
+conftest can pin CPU, so in-process `needs_8` tests would silently skip.
+`tests/test_parallel.py` runs this script in a subprocess whose env forces
+an 8-virtual-device CPU platform, so every `pytest tests/` invocation
+exercises all mesh shapes (4x2, 8x1, 2x4) plus non-divisible F/N padding.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from waterorderlib_tpu.parallel import mesh as pmesh
+from waterorderlib_tpu.order import qtet
+from waterorderlib_tpu.ops import pairs
+
+
+def _data(n_frames=4, n_wat=128, seed=0):
+    rs = np.random.RandomState(seed)
+    box_len = (n_wat / 0.033456) ** (1.0 / 3.0)
+    pos = rs.uniform(0, box_len, (n_frames, n_wat, 3)).astype(np.float32)
+    boxes = np.tile(np.array([box_len] * 3, np.float32), (n_frames, 1))
+    return jnp.asarray(pos), jnp.asarray(boxes)
+
+
+def _q_reference(pos, boxes):
+    return np.stack(
+        [
+            np.asarray(qtet.order_param_q(pos[f], pos[f], boxes[f], 0.0, 10.0, row_block=64))
+            for f in range(pos.shape[0])
+        ]
+    )
+
+
+def check_mesh_shape(df, da, n_frames, n_wat):
+    pos, boxes = _data(n_frames=n_frames, n_wat=n_wat)
+    m = pmesh.make_mesh(df, da)
+    q, mean_q, hist = pmesh.sharded_q_analysis(pos, boxes, m, row_block=64)
+    q_ref = _q_reference(pos, boxes)
+    np.testing.assert_allclose(np.asarray(q), q_ref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(mean_q), q_ref.mean(axis=1), atol=2e-5)
+    assert float(np.asarray(hist).sum()) <= q_ref.size  # out-of-range q dropped
+    print(f"mesh {df}x{da} F={n_frames} N={n_wat}: ok")
+
+
+def check_padded(df, da, n_frames, n_wat):
+    """Non-divisible F and N through the NaN-padding wrapper."""
+    pos, boxes = _data(n_frames=n_frames, n_wat=n_wat)
+    m = pmesh.make_mesh(df, da)
+    q, mean_q, hist = pmesh.sharded_q_analysis_padded(pos, boxes, m, row_block=64)
+    assert q.shape == (n_frames, n_wat)
+    assert mean_q.shape == (n_frames,)
+    q_ref = _q_reference(pos, boxes)
+    np.testing.assert_allclose(np.asarray(q), q_ref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(mean_q), q_ref.mean(axis=1), atol=2e-5)
+    in_range = np.sum((q_ref >= 0.0) & (q_ref <= 1.0))
+    assert abs(float(np.asarray(hist).sum()) - in_range) <= 2
+    print(f"padded mesh {df}x{da} F={n_frames} N={n_wat}: ok")
+
+
+def check_distance_histogram(df, da):
+    pos, boxes = _data(n_frames=8)
+    m = pmesh.make_mesh(df, da)
+    counts = pmesh.sharded_distance_histogram(pos, pos, boxes, m, 0.2, 40, same=True)
+    want = np.zeros(40, np.float32)
+    for f in range(8):
+        want += np.asarray(
+            pairs.distance_histogram(pos[f], pos[f], boxes[f], 0.2, 40, same=True)
+        )
+    np.testing.assert_allclose(np.asarray(counts), want, atol=2)
+    print(f"distance histogram mesh {df}x{da}: ok")
+
+
+def main():
+    assert len(jax.devices()) >= 8, f"need 8 devices, have {len(jax.devices())}"
+    check_mesh_shape(4, 2, n_frames=4, n_wat=128)
+    check_mesh_shape(8, 1, n_frames=8, n_wat=128)
+    check_mesh_shape(2, 4, n_frames=4, n_wat=128)
+    check_padded(4, 2, n_frames=5, n_wat=100)  # F % 4 != 0, N % 2 != 0
+    check_padded(2, 4, n_frames=3, n_wat=97)
+    check_distance_histogram(4, 2)
+    check_distance_histogram(8, 1)
+    print("sharded checks: all ok")
+
+
+if __name__ == "__main__":
+    main()

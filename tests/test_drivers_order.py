@@ -32,9 +32,16 @@ def test_tet_order_calc_end_to_end(tmp_path):
     # per-frame mean of pop 0 equals oracle mean (f32 tolerance)
     got_file = np.loadtxt(tmp_path / "qDistribution_0.txt")
     assert got_file.shape == (500, 2)
-    assert got_file[:, 1].sum() == N_FRAMES * N_WAT - np.sum(
-        [0]
-    ) or True  # histogram drops out-of-range q; just check file is sane
+    # exact histogram-sum parity vs the f64 oracle over the whole trajectory:
+    # the all-water histogram must contain exactly the q values in [0, 1]
+    # (out-of-range q dropped, np.histogram semantics). f32 boundary jitter
+    # could move a value across 0 or 1, so allow a slack of 1 count.
+    oracle_in_range = 0
+    for f in range(N_FRAMES):
+        posf = traj.positions[f].astype(np.float64)
+        qf = refimpl.order_param_q(posf[wat_inds], posf[wat_inds], traj.boxes[f].astype(np.float64))
+        oracle_in_range += int(np.sum((qf >= 0.0) & (qf <= 1.0)))
+    assert abs(got_file[:, 1].sum() - oracle_in_range) <= 1
     assert abs(np.mean(want_q) - means[0]) < 0.05  # trajectory mean near frame-0 mean
     # population histogram file exists
     assert (tmp_path / "qDistribution_1.txt").exists()

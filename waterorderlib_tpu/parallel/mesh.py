@@ -21,7 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from waterorderlib_tpu.ops import histograms
@@ -47,26 +47,17 @@ def default_mesh_shape(n_devices: int) -> tuple[int, int]:
 
 
 @partial(jax.jit, static_argnames=("mesh", "n_bins", "row_block"))
-def sharded_q_analysis(
+def _sharded_q_analysis_masked(
     pos: jnp.ndarray,
     boxes: jnp.ndarray,
+    mask: jnp.ndarray,
     mesh: Mesh,
-    low_cut: float = 0.0,
-    high_cut: float = 10.0,
-    n_bins: int = 500,
-    row_block: int = 128,
+    low_cut: float,
+    high_cut: float,
+    n_bins: int,
+    row_block: int,
 ):
-    """Full q_tet analysis step over a ('frames', 'atoms') mesh.
-
-    pos: (F, N, 3) with F divisible by the 'frames' axis size and N by the
-    'atoms' axis size; boxes: (F, 3).
-
-    Returns (q (F, N), mean_q (F,), hist (n_bins,)): per-water q values
-    (sharded like pos), per-frame means, and the global q histogram over
-    [0, 1] (psum-reduced across the whole mesh).
-    """
-
-    def local_step(pos_blk, box_blk):
+    def local_step(pos_blk, box_blk, mask_blk):
         # pos_blk: (F_loc, N_loc, 3); gather the full atom axis for columns.
         pos_full = jax.lax.all_gather(pos_blk, "atoms", axis=1, tiled=True)
 
@@ -77,22 +68,88 @@ def sharded_q_analysis(
             )
 
         q_loc = jax.lax.map(one_frame, (pos_blk, pos_full, box_blk))  # (F_loc, N_loc)
-        # per-frame mean over the full atom axis
-        n_total = pos_full.shape[1]
-        mean_loc = jax.lax.psum(jnp.sum(q_loc, axis=-1), "atoms") / n_total
-        hist = histograms.masked_histogram(
-            q_loc, jnp.ones_like(q_loc, dtype=bool), n_bins, 0.0, 1.0
-        )
+        # per-frame mean over the valid atoms of the full atom axis
+        n_valid = jax.lax.psum(jnp.sum(mask_blk, axis=-1), "atoms")
+        q_sum = jax.lax.psum(jnp.sum(jnp.where(mask_blk, q_loc, 0.0), axis=-1), "atoms")
+        mean_loc = q_sum / jnp.maximum(n_valid, 1)
+        hist = histograms.masked_histogram(q_loc, mask_blk, n_bins, 0.0, 1.0)
         hist = jax.lax.psum(hist, ("frames", "atoms"))
         return q_loc, mean_loc, hist
 
     return shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P("frames", "atoms", None), P("frames", None)),
+        in_specs=(P("frames", "atoms", None), P("frames", None), P("frames", "atoms")),
         out_specs=(P("frames", "atoms"), P("frames"), P()),
-        check_rep=False,
-    )(pos, boxes)
+        check_vma=False,
+    )(pos, boxes, mask)
+
+
+def sharded_q_analysis(
+    pos: jnp.ndarray,
+    boxes: jnp.ndarray,
+    mesh: Mesh,
+    low_cut: float = 0.0,
+    high_cut: float = 10.0,
+    n_bins: int = 500,
+    row_block: int = 128,
+    mask: jnp.ndarray | None = None,
+):
+    """Full q_tet analysis step over a ('frames', 'atoms') mesh.
+
+    pos: (F, N, 3) with F divisible by the 'frames' axis size and N by the
+    'atoms' axis size; boxes: (F, 3); mask: optional (F, N) bool of atoms to
+    include in the mean/histogram (all True by default). For arbitrary F/N
+    use :func:`sharded_q_analysis_padded`.
+
+    Returns (q (F, N), mean_q (F,), hist (n_bins,)): per-water q values
+    (sharded like pos), per-frame means, and the global q histogram over
+    [0, 1] (psum-reduced across the whole mesh).
+    """
+    if mask is None:
+        mask = jnp.ones(pos.shape[:2], bool)
+    return _sharded_q_analysis_masked(
+        pos, boxes, mask, mesh, low_cut, high_cut, n_bins, row_block
+    )
+
+
+def sharded_q_analysis_padded(
+    pos: jnp.ndarray,
+    boxes: jnp.ndarray,
+    mesh: Mesh,
+    low_cut: float = 0.0,
+    high_cut: float = 10.0,
+    n_bins: int = 500,
+    row_block: int = 128,
+):
+    """`sharded_q_analysis` for F/N not divisible by the mesh axes.
+
+    Frames are padded by repeating the last frame; atoms are padded with NaN
+    positions, which the (low, high] shell mask excludes (NaN comparisons are
+    false), so padding atoms are never neighbors of real atoms. A validity
+    mask removes all padding from the mean and the global histogram, so the
+    returned (q (F, N), mean_q (F,), hist) match the unpadded computation.
+    """
+    f, n = pos.shape[:2]
+    df, da = mesh.devices.shape
+    pad_f = (-f) % df
+    pad_n = (-n) % da
+    mask = jnp.ones((f, n), bool)
+    if pad_f:
+        pos = jnp.concatenate([pos, jnp.repeat(pos[-1:], pad_f, axis=0)], axis=0)
+        boxes = jnp.concatenate([boxes, jnp.repeat(boxes[-1:], pad_f, axis=0)], axis=0)
+        mask = jnp.concatenate([mask, jnp.zeros((pad_f, n), bool)], axis=0)
+    if pad_n:
+        pos = jnp.concatenate(
+            [pos, jnp.full((pos.shape[0], pad_n, 3), jnp.nan, pos.dtype)], axis=1
+        )
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((pos.shape[0], pad_n), bool)], axis=1
+        )
+    q, mean_q, hist = _sharded_q_analysis_masked(
+        pos, boxes, mask, mesh, low_cut, high_cut, n_bins, row_block
+    )
+    return q[:f, :n], mean_q[:f], hist
 
 
 @partial(jax.jit, static_argnames=("mesh", "nbins", "same"))
@@ -123,5 +180,5 @@ def sharded_distance_histogram(
         mesh=mesh,
         in_specs=(P(("frames", "atoms"), None, None),) * 2 + (P(("frames", "atoms"), None),),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )(pos1, pos2, boxes)

@@ -81,10 +81,9 @@ def voronoi_contacts(points: np.ndarray, box_l: float, num: int):
             co = np.intersect1d(regions[i], regions[j])
             if len(co) >= 3:
                 contacts[i, j] = contacts[j, i] = _face_area(v.vertices[co])
-        # exposed (non-contact) area; the 2x matches the reference's use of
-        # hull.area for shared faces (surface_library.py:306)
-        wat_area[:, i] = 2.0 * atom_area[:, i] - np.sum(contacts[i, :])
-    # the loop above misses contacts[i, :j<i] in wat_area; recompute exactly
+    # exposed (non-contact) area; the 2x matches the reference's use of
+    # hull.area for shared faces (surface_library.py:306). Computed after the
+    # pair loop so contacts[i, j<i] are included.
     for i in range(num):
         wat_area[:, i] = 2.0 * atom_area[:, i] - np.sum(contacts[i, :])
     return contacts, atom_area, wat_area, atom_vol
