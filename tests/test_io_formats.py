@@ -63,6 +63,74 @@ def test_dcd_roundtrip(tmp_path):
     assert t3.n_frames == 3
 
 
+def test_netcdf_roundtrip(tmp_path):
+    from waterorderlib_tpu.io import netcdf
+
+    top, traj = make_water_box(8, n_frames=5, seed=12)
+    p = str(tmp_path / "t.nc")
+    netcdf.write_amber_netcdf(p, traj)
+    t2 = netcdf.read_amber_netcdf(p)
+    np.testing.assert_allclose(t2.positions, traj.positions, atol=0)
+    np.testing.assert_allclose(t2.boxes, traj.boxes, atol=0)
+    t3 = netcdf.read_amber_netcdf(p, stride=2)
+    assert t3.n_frames == 3
+
+
+def test_netcdf_garbage_raises(tmp_path):
+    from waterorderlib_tpu.io import netcdf
+    import pytest
+
+    p = tmp_path / "g.nc"
+    p.write_bytes(b"this is not netcdf" * 4)
+    with pytest.raises(Exception):
+        netcdf.read_amber_netcdf(str(p))
+
+
+def test_prmtop_roundtrip(tmp_path):
+    from waterorderlib_tpu.io.amber import load_prmtop, write_prmtop
+
+    top, _ = make_water_box(6, n_frames=1, seed=3, solute_elements=["C", "O"])
+    p = str(tmp_path / "rt.prmtop")
+    write_prmtop(p, top)
+    t2 = load_prmtop(p)
+    assert t2.n_atoms == top.n_atoms
+    np.testing.assert_array_equal(
+        [str(e) for e in t2.elements], [str(e) for e in top.elements]
+    )
+    np.testing.assert_array_equal(t2.res_ids, top.res_ids)
+    np.testing.assert_array_equal(
+        np.sort(t2.bonds, axis=0), np.sort(np.asarray(top.bonds), axis=0)
+    )
+
+
+def test_real_format_front_door_end_to_end(tmp_path):
+    """A user with real AMBER files runs a driver directly
+    (VERDICT: TrajObject.py:30-33 parity — prmtop + NetCDF in one call)."""
+    from waterorderlib_tpu.io.amber import write_prmtop
+    from waterorderlib_tpu.io import netcdf
+    from waterorderlib_tpu.drivers import orderparams
+
+    top, traj = make_water_box(24, n_frames=4, seed=21)
+    top_p = str(tmp_path / "sys.prmtop")
+    traj_p = str(tmp_path / "sys.nc")
+    write_prmtop(top_p, top)
+    netcdf.write_amber_netcdf(traj_p, traj)
+    avg_q, var_q = orderparams.tet_order_calc(
+        top_p, traj_p, output_dir=str(tmp_path), row_block=16
+    )
+    assert np.isfinite(avg_q[0][0])
+    assert (tmp_path / "qDistribution_0.txt").exists()
+    # same files through a DCD trajectory
+    from waterorderlib_tpu.io import dcd
+
+    dcd_p = str(tmp_path / "sys.dcd")
+    dcd.write_dcd(dcd_p, traj)
+    avg_q2, _ = orderparams.tet_order_calc(
+        top_p, dcd_p, output_dir=str(tmp_path), row_block=16
+    )
+    np.testing.assert_allclose(avg_q2[0][0], avg_q[0][0], atol=1e-5)
+
+
 def test_dcd_garbage_raises(tmp_path):
     p = tmp_path / "g.dcd"
     p.write_bytes(b"definitely not a dcd" * 5)

@@ -58,6 +58,71 @@ def _element_from_name(name: str) -> str:
     return "X"
 
 
+def write_prmtop(path: str, top: Topology):
+    """Write a minimal AMBER7 PRMTOP with the sections `load_prmtop` reads
+    (POINTERS/ATOM_NAME/MASS/ATOMIC_NUMBER/RESIDUE_LABEL/RESIDUE_POINTER/
+    BONDS_*). Enough for round-trips and real-format driver fixtures."""
+    z_of = {v: k for k, v in _ELEMENTS.items()}
+    natom = top.n_atoms
+    res_starts = [0] + [
+        i for i in range(1, natom) if top.res_ids[i] != top.res_ids[i - 1]
+    ]
+    nres = len(res_starts)
+
+    def fmt_ints(vals, per_line=10, width=8):
+        lines = []
+        for i in range(0, len(vals), per_line):
+            lines.append("".join(f"{int(v):{width}d}" for v in vals[i : i + per_line]))
+        return "\n".join(lines) or ""
+
+    def fmt_strs(vals, per_line=20, width=4):
+        lines = []
+        for i in range(0, len(vals), per_line):
+            lines.append("".join(f"{str(v):<{width}s}" for v in vals[i : i + per_line]))
+        return "\n".join(lines) or ""
+
+    def fmt_floats(vals, per_line=5):
+        lines = []
+        for i in range(0, len(vals), per_line):
+            lines.append("".join(f"{float(v):16.8E}" for v in vals[i : i + per_line]))
+        return "\n".join(lines) or ""
+
+    is_h = [str(e) == "H" for e in top.elements]
+    bonds_h, bonds_heavy = [], []
+    for i, j in np.asarray(top.bonds, int):
+        (bonds_h if is_h[i] or is_h[j] else bonds_heavy).extend([3 * i, 3 * j, 1])
+
+    pointers = [0] * 31
+    pointers[0] = natom
+    pointers[2] = len(bonds_h) // 3  # NBONH
+    pointers[3] = len(bonds_heavy) // 3  # MBONA
+    pointers[11] = nres
+
+    parts = ["%VERSION  VERSION_STAMP = V0001.000  (waterorderlib_tpu)"]
+
+    def section(flag, fmt, body):
+        parts.append(f"%FLAG {flag}")
+        parts.append(f"%FORMAT({fmt})")
+        parts.append(body)
+
+    section("POINTERS", "10I8", fmt_ints(pointers))
+    section("ATOM_NAME", "20a4", fmt_strs([str(n)[:4] for n in top.names]))
+    section("MASS", "5E16.8", fmt_floats(top.masses))
+    section(
+        "ATOMIC_NUMBER", "10I8",
+        fmt_ints([z_of.get(str(e), 0) for e in top.elements]),
+    )
+    section(
+        "RESIDUE_LABEL", "20a4",
+        fmt_strs([str(top.res_names[s])[:4] for s in res_starts]),
+    )
+    section("RESIDUE_POINTER", "10I8", fmt_ints([s + 1 for s in res_starts]))
+    section("BONDS_INC_HYDROGEN", "10I8", fmt_ints(bonds_h))
+    section("BONDS_WITHOUT_HYDROGEN", "10I8", fmt_ints(bonds_heavy))
+    with open(path, "w") as fh:
+        fh.write("\n".join(parts) + "\n")
+
+
 def load_prmtop(path: str) -> Topology:
     """Parse an AMBER PRMTOP file into a Topology."""
     with open(path) as fh:

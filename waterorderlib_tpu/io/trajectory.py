@@ -90,19 +90,47 @@ def load_topology_from_npz(path: str) -> Topology | None:
     )
 
 
-def load_system(top_file: str, traj_file: str | None, stride: int = 1):
-    """One-call loader mirroring TrajObject(topFile, trajFile, stride).
-
-    top_file: topology .json (or .npz with embedded topology).
-    traj_file: trajectory .npz (or None for topology-only use).
-    """
-    if top_file.endswith(".json"):
-        top = Topology.from_json(top_file)
-    elif top_file.endswith(".npz"):
+def load_topology(top_file: str) -> Topology:
+    """Load a topology by extension: .json (ours), .npz (embedded), or AMBER
+    .prmtop/.parm7/.top (TrajObject.py:30 loads these via parmed)."""
+    low = top_file.lower()
+    if low.endswith(".json"):
+        return Topology.from_json(top_file)
+    if low.endswith(".npz"):
         top = load_topology_from_npz(top_file)
         if top is None:
             raise ValueError(f"no topology embedded in {top_file}")
-    else:
-        raise ValueError(f"unsupported topology format: {top_file}")
-    traj = Trajectory.load(traj_file, stride=stride) if traj_file else None
+        return top
+    if low.endswith((".prmtop", ".parm7", ".top")):
+        from waterorderlib_tpu.io.amber import load_prmtop
+
+        return load_prmtop(top_file)
+    raise ValueError(f"unsupported topology format: {top_file}")
+
+
+def load_trajectory(traj_file: str, stride: int = 1) -> Trajectory:
+    """Load a trajectory by extension: .npz (ours), .dcd, or AMBER NetCDF
+    .nc/.ncdf/.netcdf (TrajObject.py:33 reads these via pytraj iterload)."""
+    low = traj_file.lower()
+    if low.endswith(".npz"):
+        return Trajectory.load(traj_file, stride=stride)
+    if low.endswith(".dcd"):
+        from waterorderlib_tpu.io.dcd import read_dcd
+
+        return read_dcd(traj_file, stride=stride)
+    if low.endswith((".nc", ".ncdf", ".netcdf")):
+        from waterorderlib_tpu.io.netcdf import read_amber_netcdf
+
+        return read_amber_netcdf(traj_file, stride=stride)
+    raise ValueError(f"unsupported trajectory format: {traj_file}")
+
+
+def load_system(top_file: str, traj_file: str | None, stride: int = 1):
+    """One-call loader mirroring TrajObject(topFile, trajFile, stride).
+
+    top_file: .json / .npz (embedded) / AMBER .prmtop/.parm7/.top.
+    traj_file: .npz / .dcd / AMBER NetCDF .nc (or None for topology-only use).
+    """
+    top = load_topology(top_file)
+    traj = load_trajectory(traj_file, stride=stride) if traj_file else None
     return top, traj
