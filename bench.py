@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Headline benchmark: q_tet throughput on a 4k-water box (frames/sec/chip).
+"""Headline benchmark: q_tet throughput on a 4k-water box (frames/sec/chip),
+plus a per-analysis breakdown (3-body, LSI, psi6, H-bonds, RDF, Willard).
 
 Matches BASELINE.json's north-star metric. The baseline is the measured
 single-core CPU implementation of the same algorithm
@@ -8,9 +9,19 @@ single-core Fortran/f2py path; no Fortran compiler exists in this image).
 If the compiled baseline binary is present it is re-measured, otherwise the
 recorded constant is used.
 
+Implementation ladder for the headline (first whose exactness holds wins):
+  1. certified z-slab trajectory kernel (ops/pallas/qtet2.order_param_q_traj)
+  2. brute Pallas frames kernel (qtet2.order_param_q_frames)
+  3. XLA blocked path (order/qtet.order_param_q)
+
+Timing is honest for this remote-TPU relay: inputs are perturbed every
+iteration (the runtime memoizes identical dispatches), a tiny host fetch is
+the barrier, and the batch is large (F=256) so the ~40 ms fixed dispatch
+round-trip is amortized the way any production trajectory scan amortizes it.
+
 Prints ONE JSON line:
-  {"metric": "qtet_frames_per_sec_per_chip", "value": N, "unit": "frames/s",
-   "vs_baseline": N}
+  {"metric": "qtet_frames_per_sec_per_chip", "value": N, "unit": "...",
+   "vs_baseline": N, "spread_pct": N, "breakdown": {...}}
 """
 
 import json
@@ -26,7 +37,7 @@ import numpy as np
 BASELINE_FPS = 9.073
 
 N_WATERS = 4096
-N_FRAMES = 32
+N_FRAMES = 256
 HIGH_CUT = 10.0
 
 
@@ -45,94 +56,212 @@ def measure_baseline() -> float:
     return BASELINE_FPS
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    from waterorderlib_tpu.order import qtet
-    from waterorderlib_tpu.ops import histograms
+def _make_traj(n_waters, n_frames, seed=0):
     from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
 
-    box_len = (N_WATERS / 0.033456) ** (1.0 / 3.0)
-    rs = np.random.RandomState(0)
-    base = water_oxygen_lattice(N_WATERS, box_len, seed=0)
+    box_len = (n_waters / 0.033456) ** (1.0 / 3.0)
+    rs = np.random.RandomState(seed)
+    base = water_oxygen_lattice(n_waters, box_len, seed=seed)
     pos = np.stack(
-        [np.mod(base + rs.normal(scale=0.1, size=base.shape), box_len) for _ in range(N_FRAMES)]
+        [np.mod(base + rs.normal(scale=0.1, size=base.shape), box_len)
+         for _ in range(n_frames)]
     ).astype(np.float32)
-    boxes = np.tile(np.array([box_len] * 3, np.float32), (N_FRAMES, 1))
+    boxes = np.tile(np.array([box_len] * 3, np.float32), (n_frames, 1))
+    return pos, boxes, box_len
 
-    row_block = int(os.environ.get("BENCH_ROW_BLOCK", str(N_WATERS)))
 
-    # Prefer the fused Pallas kernel (TPU); fall back to the XLA path on
-    # platforms where Mosaic is unavailable.
-    use_pallas = os.environ.get("BENCH_IMPL", "pallas") == "pallas"
-    if use_pallas:
-        try:
-            from waterorderlib_tpu.ops.pallas.qtet_kernel import order_param_q_pallas
+def _time_batch(fn, pos_d, boxes_d, n_frames, iters=6):
+    """Median per-frame seconds over honest iterations (first dropped;
+    memoized sub-ms dispatches rejected)."""
+    import jax
+    import jax.numpy as jnp
 
-            q_fn = lambda p, b: order_param_q_pallas(p, b, 0.0, HIGH_CUT)
-            jax.jit(q_fn)(
-                jnp.zeros((256, 3), jnp.float32), jnp.ones(3, jnp.float32)
-            )[0].block_until_ready()
-        except Exception:
-            use_pallas = False
-    if not use_pallas:
-        def q_fn(p, b):
-            q = qtet.order_param_q(p, p, b, 0.0, HIGH_CUT, row_block=row_block)
-            h = histograms.masked_histogram(q, jnp.ones_like(q, bool), 500, 0.0, 1.0)
-            return q, h
+    out = fn(pos_d, boxes_d)
+    jax.block_until_ready(out)
+    times = []
+    for it in range(iters):
+        p = pos_d + jnp.float32(1e-3 * (it + 1))
+        _ = np.asarray(p[0, :4])  # settle the input transfer
+        t0 = time.perf_counter()
+        out = fn(p, boxes_d)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        _ = np.asarray(leaf[(0,) * (leaf.ndim - 1)][..., :4])  # tiny fetch barrier
+        times.append(time.perf_counter() - t0)
+    honest = [t for t in times[1:] if t > n_frames * 5e-5] or times
+    med = float(np.median(honest))
+    spread = float(np.max(honest) - np.min(honest)) / med if med else 0.0
+    return med / n_frames, spread
 
-    @jax.jit
-    def step(pos, boxes):
-        def one_frame(carry, frame):
-            p, b = frame
-            q, h = q_fn(p, b)
-            return carry + h, jnp.mean(q)
 
-        hist, means = jax.lax.scan(one_frame, jnp.zeros(500, jnp.float32), (pos, boxes))
-        return hist, means
+def headline():
+    import jax
+    import jax.numpy as jnp
+    from waterorderlib_tpu.ops import histograms
 
+    pos, boxes, box_len = _make_traj(N_WATERS, N_FRAMES)
     pos_d = jax.device_put(pos)
     boxes_d = jax.device_put(boxes)
 
-    # warmup/compile
-    hist, means = step(pos_d, boxes_d)
-    hist.block_until_ready()
+    on_tpu = jax.devices()[0].platform == "tpu"
+    impl = "xla"
+    q_fn = None
+    if on_tpu and os.environ.get("BENCH_IMPL", "pallas") == "pallas":
+        try:
+            from waterorderlib_tpu.ops.pallas import qtet2
 
-    # Each timed call gets a PERTURBED input and blocks individually: the
-    # remote-TPU runtime memoizes repeated identical dispatches, which
-    # otherwise produces fantasy throughput numbers.
-    n_iters = 5
-    times = []
-    for it in range(n_iters):
-        pos_it = pos_d + jnp.float32(1e-3 * (it + 1))
-        _ = np.asarray(pos_it[0, :4])  # host fetch: the only reliable barrier
-        t0 = time.perf_counter()
-        hist, means = step(pos_it, boxes_d)
-        _ = np.asarray(hist[-8:])  # host fetch: block_until_ready can return
-        # before real execution on this remote runtime
-        times.append(time.perf_counter() - t0)
-        if os.environ.get("BENCH_DEBUG"):
-            print(
-                f"iter {it}: {times[-1]*1e3:.3f} ms, hist_sum={float(hist.sum())}, "
-                f"mean_q={float(means.mean()):.6f}", file=sys.stderr,
+            window = qtet2.suggest_window(N_WATERS, box_len)
+            # certify the slab kernel once on the real data
+            q, ok, cov = qtet2.order_param_q_traj(
+                pos_d, boxes_d, 0.0, HIGH_CUT, row_tile=256, window=window
             )
-    # drop the first iteration (residual compile/warm-up jitter) and any
-    # memoized dispatch (sub-ms "executions" of a multi-frame batch), then
-    # report the median honest run
-    honest = [t for t in times[1:] if t > N_FRAMES * 1e-4] or times
-    fps = N_FRAMES / float(np.median(honest))
+            if bool(np.asarray(cov).all()) and bool(np.asarray(ok).all()):
+                impl = "traj-slab-certified"
 
-    baseline = measure_baseline()
-    print(
-        json.dumps(
-            {
-                "metric": "qtet_frames_per_sec_per_chip",
-                "value": round(fps, 2),
-                "unit": "frames/s (4096 waters, q_tet + histogram)",
-                "vs_baseline": round(fps / baseline, 2),
-            }
-        )
-    )
+                def q_fn(p, b):
+                    q, _, _ = qtet2.order_param_q_traj(
+                        p, b, 0.0, HIGH_CUT, row_tile=256, window=window
+                    )
+                    h = histograms.masked_histogram(q, jnp.ones_like(q, bool), 500, 0.0, 1.0)
+                    return q, h
+            else:
+                impl = "brute-frames"
+
+                def q_fn(p, b):
+                    q = qtet2.order_param_q_frames(p, b, 0.0, HIGH_CUT, row_tile=256)
+                    h = histograms.masked_histogram(q, jnp.ones_like(q, bool), 500, 0.0, 1.0)
+                    return q, h
+        except Exception:
+            q_fn = None
+    if q_fn is None:
+        from waterorderlib_tpu.order import qtet
+        impl = "xla"
+
+        @jax.jit
+        def q_fn(p, b):
+            def one(carry, frame):
+                pp, bb = frame
+                q = qtet.order_param_q(pp, pp, bb, 0.0, HIGH_CUT, row_block=512)
+                return carry, q
+
+            _, q = jax.lax.scan(one, 0.0, (p, b))
+            h = histograms.masked_histogram(q, jnp.ones_like(q, bool), 500, 0.0, 1.0)
+            return q, h
+
+    sec_per_frame, spread = _time_batch(q_fn, pos_d, boxes_d, N_FRAMES)
+    return 1.0 / sec_per_frame, spread, impl
+
+
+def breakdown():
+    """Per-analysis ms/frame on a 4k box, F=32 batch (the ~40 ms dispatch
+    round-trip adds ~1.2 ms/frame of pessimism at this batch size)."""
+    import jax
+    import jax.numpy as jnp
+    from waterorderlib_tpu.order import angles as angles_mod, lsi as lsi_mod, psi6 as psi6_mod
+    from waterorderlib_tpu.hbonds import bonds
+    from waterorderlib_tpu.ops import pairs
+
+    F = 32
+    pos, boxes, box_len = _make_traj(N_WATERS, F, seed=1)
+    pos_d = jax.device_put(pos)
+    boxes_d = jax.device_put(boxes)
+    out = {}
+
+    def scan_fn(per_frame):
+        @jax.jit
+        def run(p, b):
+            def one(carry, frame):
+                return carry, per_frame(frame[0], frame[1])
+
+            _, res = jax.lax.scan(one, 0.0, (p, b))
+            return res
+
+        return run
+
+    cases = {
+        "three_body": scan_fn(
+            lambda p, b: angles_mod.angle_histogram(
+                angles_mod.neighbor_angles(p, p, b, 0.0, 3.413, k=16, row_block=512)
+            )
+        ),
+        "lsi": scan_fn(
+            lambda p, b: lsi_mod.lsi(p, p, b, 0.0, 3.7, k=24, row_block=512).lsi
+        ),
+        "psi6": scan_fn(
+            lambda p, b: psi6_mod.order_param_psi(p, p, b, 0.0, 7.0, k=24, row_block=512)
+        ),
+        "hbonds": scan_fn(
+            lambda p, b: jnp.sum(
+                bonds.general_hbonds(p, p, p + jnp.float32(0.5), b, 3.5, 120.0), axis=1
+            )
+        ),
+        "rdf": scan_fn(
+            lambda p, b: pairs.distance_histogram(p, p, b, 0.1, 150, same=True, row_block=512)
+        ),
+    }
+    for name, fn in cases.items():
+        try:
+            sec, _ = _time_batch(fn, pos_d, boxes_d, F, iters=4)
+            out[name + "_ms"] = round(sec * 1e3, 2)
+        except Exception as e:
+            out[name + "_ms"] = f"failed: {type(e).__name__}"
+
+    # Willard-Chandler density field (81^3 grid x 4096 atoms): per-frame
+    try:
+        from waterorderlib_tpu.density import fields
+
+        Fw = 4
+        posw = jax.device_put(pos[:Fw])
+        boxesw = jax.device_put(boxes[:Fw])
+        g = jnp.linspace(0.0, box_len, 81).astype(jnp.float32)
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if on_tpu:
+            from waterorderlib_tpu.ops.pallas.willard_kernel import (
+                willard_density_points_pallas,
+            )
+
+            pts = jnp.asarray(fields.make_grid(g, g, g), jnp.float32)
+
+            @jax.jit
+            def willard(p, b):
+                def one(carry, frame):
+                    d, _ = willard_density_points_pallas(frame[0], pts, frame[1], 2.4)
+                    return carry, jnp.sum(d)
+
+                _, res = jax.lax.scan(one, 0.0, (p, b))
+                return res
+        else:
+
+            @jax.jit
+            def willard(p, b):
+                def one(carry, frame):
+                    d, _ = fields.willard_density_field(
+                        frame[0], g, g, g, frame[1], 2.4, nx=81, ny=81, nz=81
+                    )
+                    return carry, jnp.sum(d)
+
+                _, res = jax.lax.scan(one, 0.0, (p, b))
+                return res
+
+        sec, _ = _time_batch(willard, posw, boxesw, Fw, iters=3)
+        out["willard_ms"] = round(sec * 1e3, 2)
+    except Exception as e:
+        out["willard_ms"] = f"failed: {type(e).__name__}"
+    return out
+
+
+def main():
+    fps, spread, impl = headline()
+    result = {
+        "metric": "qtet_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": f"frames/s (4096 waters, q_tet + histogram, F={N_FRAMES} batch)",
+        "vs_baseline": round(fps / measure_baseline(), 2),
+        "spread_pct": round(100 * spread, 1),
+        "impl": impl,
+    }
+    if os.environ.get("BENCH_BREAKDOWN", "1") != "0":
+        result["breakdown"] = breakdown()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -126,3 +126,100 @@ def test_qtet_traj_kernel_certified():
     ok_np = np.asarray(ok)
     assert ok_np.mean() > 0.999
     np.testing.assert_allclose(np.asarray(q_s)[ok_np], np.asarray(q_b)[ok_np], atol=1e-5)
+
+
+@needs_tpu
+def test_qtet2_kernels_match_oracle():
+    """v2 single-scratch kernels (brute + certified slab) vs the XLA path."""
+    from waterorderlib_tpu.ops.pallas import qtet2
+    from waterorderlib_tpu.order import qtet
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n, f = 1024, 3
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    rs = np.random.RandomState(11)
+    base = water_oxygen_lattice(n, box_len, seed=11)
+    pos = jnp.asarray(
+        np.stack([np.mod(base + rs.normal(scale=0.1, size=base.shape), box_len)
+                  for _ in range(f)]), jnp.float32)
+    boxes = jnp.asarray(np.tile(np.array([box_len] * 3, np.float32), (f, 1)))
+    q_ref = np.stack([
+        np.asarray(qtet.order_param_q(pos[t], pos[t], boxes[t], 0.0, 10.0, row_block=512))
+        for t in range(f)
+    ])
+    q_b = np.asarray(qtet2.order_param_q_frames(pos, boxes, 0.0, 10.0, row_tile=256))
+    np.testing.assert_allclose(q_b, q_ref, atol=1e-5)
+    q_c = np.asarray(qtet2.order_param_q_certified(pos, boxes, 0.0, 10.0))
+    np.testing.assert_allclose(q_c, q_ref, atol=1e-5)
+
+
+@needs_tpu
+def test_qtet2_certified_falls_back_on_sparse_box():
+    """A dilute box (4th neighbor beyond margin) must fail certification and
+    still return exact q via the brute fallback."""
+    from waterorderlib_tpu.ops.pallas import qtet2
+    from waterorderlib_tpu.order import qtet
+
+    n, f = 512, 2
+    box_len = 200.0  # very dilute: 4-NN distances far beyond margin=4.5
+    rs = np.random.RandomState(13)
+    pos = jnp.asarray(rs.uniform(0, box_len, (f, n, 3)), jnp.float32)
+    boxes = jnp.asarray(np.tile(np.array([box_len] * 3, np.float32), (f, 1)))
+    q_ref = np.stack([
+        np.asarray(qtet.order_param_q(pos[t], pos[t], boxes[t], 0.0, 50.0, row_block=512))
+        for t in range(f)
+    ])
+    q_c = np.asarray(qtet2.order_param_q_certified(pos, boxes, 0.0, 50.0))
+    np.testing.assert_allclose(q_c, q_ref, atol=1e-5)
+
+
+@needs_tpu
+def test_threebody_kernel_matches_xla():
+    """Fused 3-body kernel: per-center valid-angle multisets + counts match
+    order.angles.neighbor_angles."""
+    from waterorderlib_tpu.ops.pallas import angles_kernel
+    from waterorderlib_tpu.order import angles as angles_mod
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n, f = 1024, 2
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    rs = np.random.RandomState(17)
+    base = water_oxygen_lattice(n, box_len, seed=17)
+    pos = jnp.asarray(
+        np.stack([np.mod(base + rs.normal(scale=0.1, size=base.shape), box_len)
+                  for _ in range(f)]), jnp.float32)
+    boxes = jnp.asarray(np.tile(np.array([box_len] * 3, np.float32), (f, 1)))
+    ang, cnt, covered = angles_kernel.neighbor_pair_angles_traj(
+        pos, boxes, 0.0, 3.413, window=896, pad=256
+    )
+    assert bool(np.all(np.asarray(covered)))
+    valid = np.asarray(angles_kernel.pair_validity(cnt))
+    ang = np.asarray(ang)
+    cnt = np.asarray(cnt)
+    for t in range(f):
+        aset = angles_mod.neighbor_angles(pos[t], pos[t], boxes[t], 0.0, 3.413, k=16)
+        np.testing.assert_array_equal(cnt[t], np.asarray(aset.count))
+        ref_ang = np.asarray(aset.ang)
+        ref_val = np.asarray(aset.valid)
+        for i in range(0, n, 97):  # sample centers
+            got = np.sort(ang[t, i][valid[t, i]])
+            want = np.sort(ref_ang[i][ref_val[i]])
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, atol=5e-3)  # acos f32
+
+
+@needs_tpu
+def test_three_body_calc_pallas_path(tmp_path):
+    """Driver routes through the fused 3-body kernel on TPU; statistics and
+    the histogram artifact must match the XLA path."""
+    from waterorderlib_tpu.io.synthetic import make_water_box
+    from waterorderlib_tpu.drivers.orderparams import three_body_calc
+
+    top, traj = make_water_box(600, n_frames=3, seed=23)
+    r1 = three_body_calc(top, traj, output_dir=str(tmp_path / "p"), row_block=256)
+    h1 = np.loadtxt(tmp_path / "p" / "3bDistribution_0.txt")
+    r2 = three_body_calc(top, traj, output_dir=str(tmp_path / "x"), row_block=600)
+    h2 = np.loadtxt(tmp_path / "x" / "3bDistribution_0.txt")
+    assert np.abs(h1[:, 1] - h2[:, 1]).sum() <= 8  # acos boundary-bin flips
+    for a, b in zip(r1, r2):
+        np.testing.assert_allclose(a[0], b[0], atol=1e-3)

@@ -147,12 +147,14 @@ def tet_order_calc(
     # construction — q per center is subset-independent).
     use_pallas = jax.devices()[0].platform == "tpu" and nw >= 2 * row_block
     if use_pallas:
-        from waterorderlib_tpu.ops.pallas.qtet_kernel import order_param_q_pallas_frames
+        from waterorderlib_tpu.ops.pallas.qtet2 import order_param_q_certified
+
+        # certificate check happens on host, so q is computed outside the
+        # stats jit (one kernel launch for the whole trajectory either way)
+        q_all = order_param_q_certified(wat_pos, boxes, low_cut, high_cut)
 
         @jax.jit
-        def run_pallas(wat_pos, boxes, masks):
-            q_all, _ = order_param_q_pallas_frames(wat_pos, boxes, low_cut, high_cut)
-
+        def run_stats(q_all, masks):
             def per_frame(q, mask):
                 mean, var = histograms.masked_mean_var(q[None, :], mask)
                 h = jax.vmap(
@@ -163,7 +165,7 @@ def tet_order_calc(
             means, vars_, hists = jax.vmap(per_frame)(q_all, masks)
             return jnp.sum(hists, axis=0), (means, vars_)
 
-        hist, (avg_q, var_q) = run_pallas(wat_pos, boxes, masks)
+        hist, (avg_q, var_q) = run_stats(q_all, masks)
     else:
         def step(hist, frame):
             pos, box, mask = frame
@@ -230,6 +232,57 @@ def three_body_calc(
         m = angles_mod.tetrahedral_metrics(sub, n_bins=n_bins, lo=lo, hi=hi)
         return m.hist, m.frac_tet, m.avg_cos, m.var_cos, m.entropy
 
+    # TPU: the fused 3-body kernel computes every pair angle for the whole
+    # trajectory in one launch; fall through to the XLA scan when the window
+    # certificate fails or the system is too small to amortize the kernel.
+    use_pallas = (
+        jax.devices()[0].platform == "tpu"
+        and nw >= 2 * row_block
+        and max_neighbors == 16
+        and high_cut <= 4.5
+    )
+    if use_pallas:
+        from waterorderlib_tpu.ops.pallas import angles_kernel
+
+        ang, cnt, covered = angles_kernel.neighbor_pair_angles_traj(
+            wat_pos, boxes, low_cut, high_cut
+        )
+        if bool(np.asarray(covered).all()):
+
+            @jax.jit
+            def run_stats(ang, cnt, masks):
+                valid = angles_kernel.pair_validity(cnt)  # (F, N, 128)
+
+                def one_frame(ang_f, valid_f, cnt_f, mask_f):
+                    def one_pop(m):
+                        v = valid_f & m[:, None]
+                        met = angles_mod.tetrahedral_metrics_flat(
+                            ang_f, v, n_bins=n_bins, lo=lo, hi=hi
+                        )
+                        return met.hist, met.frac_tet, met.avg_cos, met.var_cos, met.entropy
+
+                    h, frac, avg, var, ent = jax.vmap(one_pop)(mask_f)
+                    cc = jnp.clip(cnt_f - 1, 0, n2x - 1)
+                    cc2 = jnp.broadcast_to(cc[:, None], ang_f.shape)
+                    flat_bin = cc2.astype(jnp.int32) * n_bins + jnp.clip(
+                        jnp.floor(ang_f / (hi / n_bins)).astype(jnp.int32), 0, n_bins - 1
+                    )
+                    okf = valid_f.reshape(-1)
+                    h2 = jnp.zeros(n2x * n_bins, jnp.float32).at[
+                        jnp.where(okf, flat_bin.reshape(-1), 0)
+                    ].add(okf.astype(jnp.float32))
+                    return h, h2, frac, avg, var, ent
+
+                h, h2, frac, avg, var, ent = jax.vmap(one_frame)(ang, valid, cnt, masks)
+                n_wats = jnp.sum(masks, axis=-1).astype(jnp.float32)
+                return (jnp.sum(h, axis=0), jnp.sum(h2, axis=0)), (frac, avg, var, ent, n_wats)
+
+            (hist, hist2d), (frac, avg, var, ent, n_wats) = run_stats(ang, cnt, masks)
+            return _three_body_outputs(
+                hist, hist2d, frac, avg, var, ent, n_wats,
+                n_pops, n_bins, lo, hi, n2x, output_dir, output_2d, seed,
+            )
+
     def step(carry, frame):
         hist, hist2d = carry
         pos, box, mask = frame
@@ -257,6 +310,17 @@ def three_body_calc(
     (hist, hist2d), (frac, avg, var, ent, n_wats) = _scan_frames(
         step, carry0, wat_pos, boxes, masks
     )
+    return _three_body_outputs(
+        hist, hist2d, frac, avg, var, ent, n_wats,
+        n_pops, n_bins, lo, hi, n2x, output_dir, output_2d, seed,
+    )
+
+
+def _three_body_outputs(
+    hist, hist2d, frac, avg, var, ent, n_wats,
+    n_pops, n_bins, lo, hi, n2x, output_dir, output_2d, seed,
+):
+    """Shared artifact writing + statistics tail of three_body_calc."""
     hist = np.asarray(hist)
     for j in range(n_pops + 1):
         _save_hist(

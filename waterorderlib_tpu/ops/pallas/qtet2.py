@@ -1,0 +1,297 @@
+"""q_tet Pallas kernel v2: single-scratch 4-NN extraction, large row tiles.
+
+Replaces the same reference hot path as qtet_kernel.py
+(`allNearNeighbors` waterlib.f90:830-862 + argsort-4NN + `tetraCosAng`
+waterlib.f90:867-895 + the q formula water_properties.py:388), with one
+structural change over v1: the per-round neighbor displacement is recovered
+as a masked sum of the COLUMN COORDINATES (xj = sum(first * xs), a (1, w)
+broadcast) followed by a minimum-image on the (r, 1) result, instead of
+storing three (r, w) displacement buffers. Same arithmetic cost, but the
+kernel keeps only the dsq scratch — so row tiles of 256/512 fit in VMEM and
+the grid has 4-8x fewer steps (the v1 kernel was per-grid-step-overhead
+bound at ~40 us/step with 128-row tiles).
+
+Two wrappers share the kernel body:
+- `order_param_q_frames`: brute sweep over all columns (window = N);
+- `order_param_q_traj`:   z-slab-pruned windows with the frame-0 persistent
+  ordering and the same exactness certificates as qtet_sorted.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(windowed: bool, pad: int):
+    """Kernel body: rows [row0, row0+r) of the (extended) frame against a
+    w-column window. windowed=False reads rows/cols from the same dense
+    frame (start = 0, no boundary pad). `pad` must be a static python int
+    (it feeds lane-aligned slice starts)."""
+
+    def kernel(scalars_ref, boxes_ref, starts_ref, ext_t_ref, out_ref, ok_ref, dsq_ref):
+        f = pl.program_id(0)
+        i = pl.program_id(1)
+        r = out_ref.shape[2]
+        w = dsq_ref.shape[1]
+        n_real = scalars_ref[0].astype(jnp.int32)
+        low_sq = scalars_ref[1]
+        high_sq = scalars_ref[2]
+        margin_sq = scalars_ref[4]
+        bx, by, bz = boxes_ref[f, 0], boxes_ref[f, 1], boxes_ref[f, 2]
+
+        row0 = pad + i * r
+        # starts are stored pre-divided by 128 so the product is provably
+        # lane-aligned for Mosaic
+        start = starts_ref[f, i] * 128
+
+        def mi(d, box_l):
+            # coordinates are pre-wrapped into [0, L); two compare-selects
+            # replace round()
+            d = jnp.where(d > box_l * 0.5, d - box_l, d)
+            return jnp.where(d < -box_l * 0.5, d + box_l, d)
+
+        xs = ext_t_ref[0, 0, pl.ds(start, w)].reshape(1, w)
+        ys = ext_t_ref[0, 1, pl.ds(start, w)].reshape(1, w)
+        zs = ext_t_ref[0, 2, pl.ds(start, w)].reshape(1, w)
+        xr = ext_t_ref[0, 0, pl.ds(row0, r)].reshape(r, 1)
+        yr = ext_t_ref[0, 1, pl.ds(row0, r)].reshape(r, 1)
+        zr = ext_t_ref[0, 2, pl.ds(row0, r)].reshape(r, 1)
+
+        dx = mi(xs - xr, bx)
+        dy = mi(ys - yr, by)
+        dz = mi(zs - zr, bz)
+        dsq = dx * dx + dy * dy + dz * dz
+        col = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
+        valid = (dsq > low_sq) & (dsq <= high_sq)
+        if not windowed:
+            valid &= col < n_real  # dense path: mask the zero-padded columns
+        count = jnp.sum(valid.astype(jnp.float32), axis=1, keepdims=True)
+        dsq_ref[:] = jnp.where(valid, dsq, jnp.inf)
+
+        big = jnp.int32(w)
+        units = []
+        oks = []
+        last_d = None
+        for _ in range(4):
+            d = dsq_ref[:]
+            m = jnp.min(d, axis=1, keepdims=True)
+            eq = (d == m) & jnp.isfinite(d)
+            fc = jnp.min(jnp.where(eq, col, big), axis=1, keepdims=True)
+            first = eq & (col == fc)
+            wgt = first.astype(jnp.float32)
+            # neighbor coordinates via masked sum of the column coords; the
+            # displacement is re-imaged on the (r, 1) result — no (r, w)
+            # displacement scratch needed
+            xj = jnp.sum(wgt * xs, axis=1, keepdims=True)
+            yj = jnp.sum(wgt * ys, axis=1, keepdims=True)
+            zj = jnp.sum(wgt * zs, axis=1, keepdims=True)
+            ok = jnp.sum(wgt, axis=1, keepdims=True) > 0
+            vx = mi(xj - xr, bx)
+            vy = mi(yj - yr, by)
+            vz = mi(zj - zr, bz)
+            nrm = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+            inv = jnp.where(nrm > 0, 1.0 / jnp.where(nrm > 0, nrm, 1.0), 0.0)
+            units.append((vx * inv, vy * inv, vz * inv))
+            oks.append(ok)
+            last_d = jnp.where(jnp.isfinite(m), m, jnp.inf)
+            dsq_ref[:] = jnp.where(first, jnp.inf, d)
+
+        ssum = jnp.zeros((r, 1), jnp.float32)
+        for a in range(4):
+            for b in range(a + 1, 4):
+                ca, cb = units[a], units[b]
+                cosv = ca[0] * cb[0] + ca[1] * cb[1] + ca[2] * cb[2]
+                pair_ok = oks[a] & oks[b]
+                cosv = jnp.where(pair_ok, jnp.clip(cosv, -1.0, 1.0), -1.0)
+                ssum = ssum + (cosv + 1.0 / 3.0) ** 2
+        q = 1.0 - 0.375 * ssum
+        q = jnp.where(count > 0, q, 0.0)
+        out_ref[0, pl.ds(i, 1), :] = q.reshape(1, r)
+        # exact iff all 4 slots filled and the 4th-nearest lies within margin
+        exact = oks[3] & (last_d <= margin_sq)
+        ok_ref[0, pl.ds(i, 1), :] = exact.astype(jnp.float32).reshape(1, r)
+
+    return kernel
+
+
+def _launch(ext_t, boxes, starts, scalars, F, n_tiles, row_tile, w, windowed, pad):
+    return pl.pallas_call(
+        _make_kernel(windowed, pad),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(F, n_tiles),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 3, ext_t.shape[2]), lambda f, i, s1, s2, s3: (f, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (1, n_tiles, row_tile), lambda f, i, s1, s2, s3: (f, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, n_tiles, row_tile), lambda f, i, s1, s2, s3: (f, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            scratch_shapes=[pltpu.VMEM((row_tile, w), jnp.float32)],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((F, n_tiles, row_tile), jnp.float32),
+            jax.ShapeDtypeStruct((F, n_tiles, row_tile), jnp.float32),
+        ),
+    )(scalars, boxes.astype(jnp.float32), starts, ext_t)
+
+
+def _scalars(n, low_cut, high_cut, pad, margin):
+    return jnp.stack(
+        [jnp.float32(n), jnp.asarray(low_cut * low_cut, jnp.float32),
+         jnp.asarray(high_cut * high_cut, jnp.float32), jnp.float32(pad),
+         jnp.asarray(margin * margin, jnp.float32)],
+    )
+
+
+@partial(jax.jit, static_argnames=("row_tile",))
+def order_param_q_frames(
+    pos: jnp.ndarray,
+    boxes: jnp.ndarray,
+    low_cut: float = 0.0,
+    high_cut: float = 10.0,
+    row_tile: int = 256,
+):
+    """Brute whole-trajectory q_tet, one kernel launch, large row tiles.
+
+    pos: (F, N, 3); boxes: (F, 3). Returns q (F, N) matching
+    order.qtet.order_param_q per frame to f32 precision.
+    """
+    F, n = pos.shape[0], pos.shape[1]
+    n_pad = -(-n // row_tile) * row_tile
+    pos = jnp.mod(pos, boxes[:, None, :])  # select-mi in-kernel needs [0, L)
+    pos_p = jnp.pad(pos, ((0, 0), (0, n_pad - n), (0, 0)))
+    ext_t = jnp.transpose(pos_p, (0, 2, 1)).astype(jnp.float32)  # (F, 3, Npad)
+    n_tiles = n_pad // row_tile
+    starts = jnp.zeros((F, n_tiles), jnp.int32)
+    scalars = _scalars(n, low_cut, high_cut, 0, high_cut)
+    out, _ = _launch(ext_t, boxes, starts, scalars, F, n_tiles, row_tile, n_pad, False, 0)
+    return out.reshape(F, -1)[:, :n]
+
+
+@partial(jax.jit, static_argnames=("row_tile", "window", "pad", "unsort"))
+def order_param_q_traj(
+    pos: jnp.ndarray,
+    boxes: jnp.ndarray,
+    low_cut: float = 0.0,
+    high_cut: float = 10.0,
+    margin: float = 4.5,
+    row_tile: int = 256,
+    window: int = 1536,
+    pad: int = 512,
+    unsort: bool = True,
+):
+    """Slab-pruned whole-trajectory q_tet with the frame-0 persistent
+    z-ordering (see qtet_sorted.order_param_q_pallas_traj for the contract:
+    per-atom `ok` certifies exactness, `covered` certifies window coverage
+    at the drift-inflated margin).
+
+    Returns (q (F, N) in original atom order when unsort, ok (F, N) bool,
+    covered (F,) bool).
+    """
+    F, n = pos.shape[0], pos.shape[1]
+    n_pad_rows = -(-n // row_tile) * row_tile
+    n_tiles = n_pad_rows // row_tile
+    L = boxes[:, 2][:, None]
+
+    wrapped = jnp.mod(pos, boxes[:, None, :])
+    z0 = wrapped[0, :, 2]
+    order0 = jnp.argsort(z0)  # one sort for the whole trajectory
+    sp = wrapped[:, order0, :]
+    zs = sp[..., 2]
+    drift = jnp.max(jnp.abs(zs - zs[0:1]))
+    margin_eff = margin + 2.0 * drift
+
+    z_shift = jnp.concatenate(
+        [jnp.zeros((F, pad, 2), sp.dtype), L[:, :, None] * jnp.ones((F, pad, 1), sp.dtype)],
+        axis=-1,
+    )
+    ext = jnp.concatenate([sp[:, -pad:, :] - z_shift, sp, sp[:, :pad, :] + z_shift], axis=1)
+    if n_pad_rows - n > pad:
+        raise ValueError("row_tile remainder exceeds the boundary pad")
+    n_ext = ext.shape[1]
+    # the window must never exceed N sorted atoms: a wider window can hold an
+    # atom AND its periodic boundary copy, double-counting that neighbor
+    w = min(window, n_ext, (n // 128) * 128)
+
+    ext_z0 = ext[0, :, 2]
+    tile_first = jnp.arange(n_tiles) * row_tile
+    tile_last = jnp.minimum(tile_first + row_tile - 1, n - 1)
+    z_lo = zs[0][tile_first] - margin_eff
+    z_hi = zs[0][tile_last] + margin_eff
+    starts = jnp.searchsorted(ext_z0, z_lo, side="left")
+    ends = jnp.searchsorted(ext_z0, z_hi, side="right")
+    starts = (starts // 128) * 128
+    starts = jnp.clip(starts, 0, n_ext - w)
+    covered = jnp.broadcast_to(jnp.all(ends - starts <= w), (F,))
+    starts_f = jnp.broadcast_to(((starts // 128).astype(jnp.int32))[None, :], (F, n_tiles))
+
+    ext_t = jnp.transpose(ext, (0, 2, 1)).astype(jnp.float32)
+    scalars = _scalars(n, low_cut, high_cut, pad, margin)
+    out, ok = _launch(ext_t, boxes, starts_f, scalars, F, n_tiles, row_tile, w, True, pad)
+
+    q_sorted = out.reshape(F, -1)[:, :n]
+    ok_sorted = ok.reshape(F, -1)[:, :n] > 0
+    if not unsort:
+        return q_sorted, ok_sorted, covered
+    q_orig = jax.vmap(lambda src: jnp.zeros_like(src).at[order0].set(src))(q_sorted)
+    ok_orig = jax.vmap(lambda src: jnp.zeros_like(src).at[order0].set(src))(ok_sorted)
+    return q_orig, ok_orig, covered
+
+
+def suggest_window(n: int, box_z: float, margin: float = 4.5, row_tile: int = 256,
+                   safety: float = 1.35) -> int:
+    """Window width (multiple of 128) expected to cover a tile's slab (see
+    qtet_sorted.suggest_window)."""
+    tile_extent = row_tile / n * box_z
+    slab = tile_extent + 2.0 * margin
+    est = n * slab / box_z * safety + 256
+    return int(-(-est // 128) * 128)
+
+
+def order_param_q_certified(
+    pos,
+    boxes,
+    low_cut: float = 0.0,
+    high_cut: float = 10.0,
+    row_tile: int = 256,
+    margin: float = 4.5,
+):
+    """Fastest q with certified exactness (host-level dispatch, not jittable).
+
+    Runs the slab-pruned trajectory kernel and checks its validity
+    certificates on the host; any failure (sparse box, large drift, atoms
+    with <4 neighbors inside `margin`) falls back to the brute kernel whose
+    only assumption is the (low, high] shell itself. Returns q (F, N) in the
+    original atom order.
+    """
+    import numpy as np
+
+    n = pos.shape[1]
+    box_z = float(boxes[0, 2])
+    window = suggest_window(n, box_z, margin=margin, row_tile=row_tile)
+    if window < n:  # pruning pays off: try the certified slab kernel
+        q, ok, cov = order_param_q_traj(
+            pos, boxes, low_cut, high_cut, margin=margin,
+            row_tile=row_tile, window=window,
+        )
+        if bool(np.asarray(cov).all()) and bool(np.asarray(ok).all()):
+            return q
+    # brute fallback: shrink the row tile so the (rt, N) dsq scratch plus
+    # Mosaic temporaries stay within VMEM (~3.5 MB for the scratch itself)
+    rt_b = min(row_tile, max(8, (3_500_000 // (n * 4)) // 8 * 8))
+    return order_param_q_frames(pos, boxes, low_cut, high_cut, row_tile=rt_b)

@@ -181,10 +181,12 @@ def order_param_q_pallas_sorted(
     starts = (starts // 128).astype(jnp.int32)
 
     ext_t = jnp.transpose(ext, (0, 2, 1)).astype(jnp.float32)
-    scalars = jnp.array(
-        [np.float32(n), np.float32(low_cut * low_cut), np.float32(high_cut * high_cut),
-         np.float32(pad), np.float32(margin * margin)],
-        dtype=jnp.float32,
+    # jnp.stack (not np.float32): low/high/margin may be tracers under an
+    # outer jit
+    scalars = jnp.stack(
+        [jnp.float32(n), jnp.asarray(low_cut * low_cut, jnp.float32),
+         jnp.asarray(high_cut * high_cut, jnp.float32), jnp.float32(pad),
+         jnp.asarray(margin * margin, jnp.float32)],
     )
 
     out, ok = pl.pallas_call(
@@ -303,10 +305,12 @@ def order_param_q_pallas_traj(
     starts_f = jnp.broadcast_to(((starts // 128).astype(jnp.int32))[None, :], (F, n_tiles))
 
     ext_t = jnp.transpose(ext, (0, 2, 1)).astype(jnp.float32)
-    scalars = jnp.array(
-        [np.float32(n), np.float32(low_cut * low_cut), np.float32(high_cut * high_cut),
-         np.float32(pad), np.float32(margin * margin)],
-        dtype=jnp.float32,
+    # jnp.stack (not np.float32): low/high/margin may be tracers under an
+    # outer jit
+    scalars = jnp.stack(
+        [jnp.float32(n), jnp.asarray(low_cut * low_cut, jnp.float32),
+         jnp.asarray(high_cut * high_cut, jnp.float32), jnp.float32(pad),
+         jnp.asarray(margin * margin, jnp.float32)],
     )
     out, ok = pl.pallas_call(
         _make_sorted_kernel(pad),

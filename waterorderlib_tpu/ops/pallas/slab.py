@@ -1,0 +1,88 @@
+"""Shared z-slab preparation for windowed pair kernels.
+
+The slab trick (introduced for q_tet, reused by the 3-body and LSI kernels):
+sort the frame by z once (frame-0 persistent ordering for trajectories),
+extend the sorted array with wrapped copies of the boundary slabs so PBC
+neighbors stay contiguous, and give each row tile a contiguous column window
+wide enough to hold every candidate within `margin` of the tile. Exactness
+is certified, not assumed: `covered` checks that every tile's window held
+all of its slab candidates at the drift-inflated margin.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SlabPrep(NamedTuple):
+    ext_t: jnp.ndarray   # (F, 3, n_ext) extended transposed coordinates
+    starts: jnp.ndarray  # (F, n_tiles) window starts, pre-divided by 128
+    covered: jnp.ndarray  # (F,) bool: window held every slab candidate
+    order0: jnp.ndarray  # (N,) frame-0 z-ordering (sorted -> original scatter)
+    w: int               # static window width actually used
+    n_tiles: int
+
+
+def slab_prep_traj(
+    pos: jnp.ndarray,
+    boxes: jnp.ndarray,
+    margin: float,
+    row_tile: int,
+    window: int,
+    pad: int,
+) -> SlabPrep:
+    """Frame-0 persistent z-ordering prep for a whole trajectory.
+
+    pos: (F, N, 3); boxes: (F, 3) orthorhombic edges. The effective margin is
+    inflated by twice the measured maximum z-drift from frame 0, so the
+    frame-0 window starts remain valid for every frame.
+    """
+    F, n = pos.shape[0], pos.shape[1]
+    n_pad_rows = -(-n // row_tile) * row_tile
+    n_tiles = n_pad_rows // row_tile
+    if n_pad_rows - n > pad:
+        raise ValueError("row_tile remainder exceeds the boundary pad")
+    L = boxes[:, 2][:, None]
+
+    wrapped = jnp.mod(pos, boxes[:, None, :])
+    z0 = wrapped[0, :, 2]
+    order0 = jnp.argsort(z0)  # one sort for the whole trajectory
+    sp = wrapped[:, order0, :]
+    zs = sp[..., 2]
+    drift = jnp.max(jnp.abs(zs - zs[0:1]))
+    margin_eff = margin + 2.0 * drift
+
+    z_shift = jnp.concatenate(
+        [jnp.zeros((F, pad, 2), sp.dtype), L[:, :, None] * jnp.ones((F, pad, 1), sp.dtype)],
+        axis=-1,
+    )
+    ext = jnp.concatenate([sp[:, -pad:, :] - z_shift, sp, sp[:, :pad, :] + z_shift], axis=1)
+    n_ext = ext.shape[1]
+    # the window must never exceed N sorted atoms: a wider window can hold an
+    # atom AND its periodic boundary copy, double-counting that neighbor
+    w = min(window, n_ext, (n // 128) * 128)
+
+    ext_z0 = ext[0, :, 2]
+    tile_first = jnp.arange(n_tiles) * row_tile
+    tile_last = jnp.minimum(tile_first + row_tile - 1, n - 1)
+    z_lo = zs[0][tile_first] - margin_eff
+    z_hi = zs[0][tile_last] + margin_eff
+    starts = jnp.searchsorted(ext_z0, z_lo, side="left")
+    ends = jnp.searchsorted(ext_z0, z_hi, side="right")
+    # Mosaic needs lane-dim slice starts provably 128-aligned: round down
+    # (the window only grows leftward) and store pre-divided by 128
+    starts = (starts // 128) * 128
+    starts = jnp.clip(starts, 0, n_ext - w)
+    covered = jnp.broadcast_to(jnp.all(ends - starts <= w), (F,))
+    starts_f = jnp.broadcast_to(((starts // 128).astype(jnp.int32))[None, :], (F, n_tiles))
+
+    ext_t = jnp.transpose(ext, (0, 2, 1)).astype(jnp.float32)
+    return SlabPrep(ext_t, starts_f, covered, order0, w, n_tiles)
+
+
+def unsort_frames(arr_sorted: jnp.ndarray, order0: jnp.ndarray) -> jnp.ndarray:
+    """Scatter (F, N, ...) results from frame-0 z-order back to atom order."""
+    return jax.vmap(lambda src: jnp.zeros_like(src).at[order0].set(src))(arr_sorted)
