@@ -165,6 +165,7 @@ def breakdown():
     pos_d = jax.device_put(pos)
     boxes_d = jax.device_put(boxes)
     out = {}
+    on_tpu = jax.devices()[0].platform == "tpu"
 
     def scan_fn(per_frame):
         @jax.jit
@@ -177,23 +178,49 @@ def breakdown():
 
         return run
 
-    cases = {
-        "three_body": scan_fn(
+    # measure the framework's actual dispatch: fused Pallas kernels on TPU,
+    # XLA blocked paths elsewhere
+    if on_tpu:
+        from waterorderlib_tpu.ops.pallas import angles_kernel, lsi_kernel
+        from waterorderlib_tpu.ops.pallas.hbond_kernel import hbond_counts
+        from waterorderlib_tpu.ops import histograms as hist_mod
+
+        @jax.jit
+        def three_body_fn(p, b):
+            ang, cnt, _ = angles_kernel.neighbor_pair_angles_traj(p, b, 0.0, 3.413)
+            valid = angles_kernel.pair_validity(cnt)
+            return hist_mod.masked_histogram(ang, valid, 500, 0.0, 180.0)
+
+        @jax.jit
+        def lsi_fn(p, b):
+            v, ok, _, _ = lsi_kernel.lsi_traj(p, b, 0.0, 3.7)
+            return v, ok
+
+        hbond_fn = scan_fn(
+            lambda p, b: hbond_counts(p, p, p + jnp.float32(0.5), b, 3.5, 120.0)[0]
+        )
+    else:
+        three_body_fn = scan_fn(
             lambda p, b: angles_mod.angle_histogram(
                 angles_mod.neighbor_angles(p, p, b, 0.0, 3.413, k=16, row_block=512)
             )
-        ),
-        "lsi": scan_fn(
+        )
+        lsi_fn = scan_fn(
             lambda p, b: lsi_mod.lsi(p, p, b, 0.0, 3.7, k=24, row_block=512).lsi
-        ),
-        "psi6": scan_fn(
-            lambda p, b: psi6_mod.order_param_psi(p, p, b, 0.0, 7.0, k=24, row_block=512)
-        ),
-        "hbonds": scan_fn(
+        )
+        hbond_fn = scan_fn(
             lambda p, b: jnp.sum(
                 bonds.general_hbonds(p, p, p + jnp.float32(0.5), b, 3.5, 120.0), axis=1
             )
+        )
+
+    cases = {
+        "three_body": three_body_fn,
+        "lsi": lsi_fn,
+        "psi6": scan_fn(
+            lambda p, b: psi6_mod.order_param_psi(p, p, b, 0.0, 7.0, k=24, row_block=512)
         ),
+        "hbonds": hbond_fn,
         "rdf": scan_fn(
             lambda p, b: pairs.distance_histogram(p, p, b, 0.1, 150, same=True, row_block=512)
         ),
@@ -215,16 +242,16 @@ def breakdown():
         g = jnp.linspace(0.0, box_len, 81).astype(jnp.float32)
         on_tpu = jax.devices()[0].platform == "tpu"
         if on_tpu:
-            from waterorderlib_tpu.ops.pallas.willard_kernel import (
-                willard_density_points_pallas,
-            )
+            from waterorderlib_tpu.ops.pallas.willard_grid import willard_density_grid
 
-            pts = jnp.asarray(fields.make_grid(g, g, g), jnp.float32)
+            g0, dg = 0.0, float(box_len / 81)
 
             @jax.jit
             def willard(p, b):
                 def one(carry, frame):
-                    d, _ = willard_density_points_pallas(frame[0], pts, frame[1], 2.4)
+                    d, _, _ = willard_density_grid(
+                        frame[0], frame[1], g0, dg, 81, g0, dg, 81, g0, dg, 81, 2.4
+                    )
                     return carry, jnp.sum(d)
 
                 _, res = jax.lax.scan(one, 0.0, (p, b))

@@ -216,6 +216,8 @@ def test_three_body_calc_pallas_path(tmp_path):
     from waterorderlib_tpu.drivers.orderparams import three_body_calc
 
     top, traj = make_water_box(600, n_frames=3, seed=23)
+    (tmp_path / "p").mkdir()
+    (tmp_path / "x").mkdir()
     r1 = three_body_calc(top, traj, output_dir=str(tmp_path / "p"), row_block=256)
     h1 = np.loadtxt(tmp_path / "p" / "3bDistribution_0.txt")
     r2 = three_body_calc(top, traj, output_dir=str(tmp_path / "x"), row_block=600)
@@ -223,3 +225,98 @@ def test_three_body_calc_pallas_path(tmp_path):
     assert np.abs(h1[:, 1] - h2[:, 1]).sum() <= 8  # acos boundary-bin flips
     for a, b in zip(r1, r2):
         np.testing.assert_allclose(a[0], b[0], atol=1e-3)
+
+
+@needs_tpu
+def test_lsi_kernel_matches_xla():
+    from waterorderlib_tpu.ops.pallas import lsi_kernel
+    from waterorderlib_tpu.order import lsi as lsi_mod
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n, f = 1024, 2
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    rs = np.random.RandomState(29)
+    base = water_oxygen_lattice(n, box_len, seed=29)
+    pos = jnp.asarray(
+        np.stack([np.mod(base + rs.normal(scale=0.1, size=base.shape), box_len)
+                  for _ in range(f)]), jnp.float32)
+    boxes = jnp.asarray(np.tile(np.array([box_len] * 3, np.float32), (f, 1)))
+    v, ok, cnt, covered = lsi_kernel.lsi_traj(pos, boxes, 0.0, 3.7, window=1024, pad=256)
+    assert bool(np.all(np.asarray(covered)))
+    for t in range(f):
+        ref = lsi_mod.lsi(pos[t], pos[t], boxes[t], 0.0, 3.7, k=24, row_block=512)
+        np.testing.assert_array_equal(np.asarray(ok[t]), np.asarray(ref.valid))
+        np.testing.assert_allclose(np.asarray(v[t]), np.asarray(ref.lsi), atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(cnt[t]), np.asarray(ref.count))
+
+
+@needs_tpu
+def test_lsi_calc_pallas_path(tmp_path):
+    from waterorderlib_tpu.io.synthetic import make_water_box
+    from waterorderlib_tpu.drivers.orderparams import lsi_calc
+
+    top, traj = make_water_box(600, n_frames=3, seed=31)
+    (tmp_path / "p").mkdir()
+    (tmp_path / "x").mkdir()
+    a1, v1 = lsi_calc(top, traj, output_dir=str(tmp_path / "p"), row_block=256, max_neighbors=24)
+    a2, v2 = lsi_calc(top, traj, output_dir=str(tmp_path / "x"), row_block=600, max_neighbors=24)
+    np.testing.assert_allclose(a1[0], a2[0], atol=1e-5)
+    h1 = np.loadtxt(tmp_path / "p" / "lsiDistribution_0.txt")
+    h2 = np.loadtxt(tmp_path / "x" / "lsiDistribution_0.txt")
+    assert np.abs(h1[:, 1] - h2[:, 1]).sum() <= 4
+
+
+@needs_tpu
+def test_hbond_counts_kernel_matches_xla():
+    from waterorderlib_tpu.ops.pallas.hbond_kernel import hbond_counts
+    from waterorderlib_tpu.hbonds.bonds import general_hbonds
+    from waterorderlib_tpu.io.synthetic import make_water_box
+
+    top, traj = make_water_box(400, n_frames=1, seed=37)
+    wat_inds, wat_h, _ = top.get_wat_inds()
+    p = jnp.asarray(traj.positions[0])
+    box = jnp.asarray(traj.boxes[0])
+    acc = p[wat_inds]
+    don = jnp.repeat(p[wat_inds], 2, axis=0)
+    donh = p[wat_h]
+    mat = np.asarray(general_hbonds(acc, don, donh, box, 3.5, 120.0))
+    a_cnt, d_cnt = hbond_counts(acc, don, donh, box, 3.5, 120.0)
+    np.testing.assert_allclose(np.asarray(a_cnt), mat.sum(axis=1), atol=0)
+    np.testing.assert_allclose(np.asarray(d_cnt), mat.sum(axis=0), atol=0)
+    # non-water geometry: asymmetric acceptor/donor sets
+    sol = p[wat_inds[:37]] + jnp.float32(0.3)
+    solh = sol + jnp.float32(0.8)
+    mat2 = np.asarray(general_hbonds(acc, sol, solh, box, 3.0, 150.0))
+    a2, d2 = hbond_counts(acc, sol, solh, box, 3.0, 150.0)
+    np.testing.assert_allclose(np.asarray(a2), mat2.sum(axis=1), atol=0)
+    np.testing.assert_allclose(np.asarray(d2), mat2.sum(axis=0), atol=0)
+
+
+@needs_tpu
+def test_willard_grid_kernel_matches_xla():
+    """z-slab Willard grid kernel vs the XLA field, incl. an off-box grid
+    origin (density_grid spans the solute extent +- half a box)."""
+    from waterorderlib_tpu.ops.pallas.willard_grid import willard_density_grid
+    from waterorderlib_tpu.density import fields
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n = 1024
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    pos = jnp.asarray(water_oxygen_lattice(n, box_len, seed=41), jnp.float32)
+    box = jnp.asarray([box_len] * 3, dtype=jnp.float32)
+    ng = 33
+    for g0 in (0.0, -7.3):  # in-box and off-box origins
+        dg = float((box_len + 6.0) / ng) if g0 < 0 else float(box_len / ng)
+        dens, norms, covered = willard_density_grid(
+            pos, box, g0, dg, ng, g0, dg, ng, g0, dg, ng, 2.4, window=768, pad=384
+        )
+        assert bool(covered)
+        g = jnp.asarray(np.arange(ng) * dg + g0, jnp.float32)
+        d_ref, n_ref = fields.willard_density_field(
+            pos, g, g, g, box, 2.4, nx=ng, ny=ng, nz=ng
+        )
+        np.testing.assert_allclose(np.asarray(dens), np.asarray(d_ref), atol=1e-6)
+        # unit normals: compare directions only where the gradient is
+        # meaningful (near-zero gradients normalize to noise directions)
+        dots = np.sum(np.asarray(norms) * np.asarray(n_ref), axis=-1)
+        assert np.mean(dots > 0.98) > 0.999

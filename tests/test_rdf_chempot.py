@@ -62,4 +62,7 @@ def test_chem_pot_shell(tmp_path):
         output_dir=str(tmp_path), seed=3,
     )
     assert np.isfinite(avg_n)
-    assert (tmp_path / "HS-solute_overlap_hist_Shell.txt").exists()
+    h = np.loadtxt(tmp_path / "HS-solute_overlap_hist_Shell.txt")
+    # rejection resampling: exactly n_ins accepted insertions per frame
+    # (orderParam_lib.py:1720-1732 semantics)
+    assert h[:, 1].sum() == 4096

@@ -1,0 +1,82 @@
+"""Streaming trajectory pipeline: lazy readers + chunked drivers bit-match
+the single-shot path."""
+
+import numpy as np
+
+from waterorderlib_tpu.io.synthetic import make_water_box
+from waterorderlib_tpu.io import netcdf, dcd
+from waterorderlib_tpu.io.streaming import LazyNetCDF, LazyDCD, iter_chunks
+from waterorderlib_tpu.drivers import orderparams
+
+N_WAT = 48
+N_FRAMES = 10
+
+
+def test_lazy_netcdf_matches_full_read(tmp_path):
+    top, traj = make_water_box(N_WAT, n_frames=N_FRAMES, seed=51)
+    p = str(tmp_path / "t.nc")
+    netcdf.write_amber_netcdf(p, traj)
+    rdr = LazyNetCDF(p)
+    assert rdr.n_frames == N_FRAMES and rdr.n_atoms == traj.n_atoms
+    pos, boxes = rdr.read(3, 4)
+    np.testing.assert_array_equal(pos, traj.positions[3:7])
+    np.testing.assert_array_equal(boxes, traj.boxes[3:7])
+    rdr.close()
+
+
+def test_lazy_dcd_matches_full_read(tmp_path):
+    top, traj = make_water_box(N_WAT, n_frames=N_FRAMES, seed=52)
+    p = str(tmp_path / "t.dcd")
+    dcd.write_dcd(p, traj)
+    rdr = LazyDCD(p)
+    assert rdr.n_frames == N_FRAMES and rdr.n_atoms == traj.n_atoms
+    pos, boxes = rdr.read(7, 5)  # clipped to the final 3 frames
+    assert pos.shape[0] == 3
+    np.testing.assert_array_equal(pos, traj.positions[7:])
+    np.testing.assert_array_equal(boxes, traj.boxes[7:])
+    rdr.close()
+
+
+def test_iter_chunks_covers_trajectory_with_stride(tmp_path):
+    top, traj = make_water_box(N_WAT, n_frames=N_FRAMES, seed=53)
+    p = str(tmp_path / "t.nc")
+    netcdf.write_amber_netcdf(p, traj)
+    got_pos = [c[0] for c in iter_chunks(p, chunk_frames=3, stride=2)]
+    got = np.concatenate(got_pos, axis=0)
+    np.testing.assert_array_equal(got, traj.positions[::2])
+
+
+def test_tet_order_calc_chunked_bitmatches_single_shot(tmp_path):
+    """>= 4 chunks through the NetCDF lazy reader == one-shot (VERDICT #6)."""
+    top, traj = make_water_box(N_WAT, n_frames=N_FRAMES, seed=54)
+    p = str(tmp_path / "t.nc")
+    netcdf.write_amber_netcdf(p, traj)
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    a_avg, a_var = orderparams.tet_order_calc(
+        top, traj, output_dir=str(tmp_path / "a"), row_block=16
+    )
+    b_avg, b_var = orderparams.tet_order_calc(
+        top, p, output_dir=str(tmp_path / "b"), row_block=16, chunk_frames=3
+    )
+    np.testing.assert_array_equal(a_avg[0], b_avg[0])
+    np.testing.assert_array_equal(a_var[0], b_var[0])
+    ha = np.loadtxt(tmp_path / "a" / "qDistribution_0.txt")
+    hb = np.loadtxt(tmp_path / "b" / "qDistribution_0.txt")
+    np.testing.assert_array_equal(ha, hb)
+
+
+def test_tet_order_calc_chunked_with_populations(tmp_path):
+    top, traj = make_water_box(N_WAT, n_frames=N_FRAMES, seed=55)
+    wat_inds, _, _ = top.get_wat_inds()
+    sub = [[wat_inds[:10]] for _ in range(N_FRAMES)]
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    a_avg, _ = orderparams.tet_order_calc(
+        top, traj, sub_inds=sub, n_pops=1, output_dir=str(tmp_path / "a"), row_block=16
+    )
+    b_avg, _ = orderparams.tet_order_calc(
+        top, traj, sub_inds=sub, n_pops=1, output_dir=str(tmp_path / "b"),
+        row_block=16, chunk_frames=4,
+    )
+    np.testing.assert_array_equal(a_avg[0], b_avg[0])

@@ -12,11 +12,16 @@ Two insertion modes, as in the reference:
   around a randomly chosen solute heavy atom (100,000/frame).
 
 The reference's rejection-sampling `while` loop (ref :1720-1732) becomes a
-fixed-shape sample-and-mask: we draw uniform points in the cube and *weight*
-each insertion by whether it falls inside the sphere, which reproduces the
-same uniform-in-sphere density without data-dependent control flow. RNG is
-jax PRNG (deterministic given `seed`) inside the same jitted scan as the
-overlap counting, so nothing round-trips to host.
+fixed-shape oversample-and-rank: we draw ~2x the requested insertions
+uniformly in the bounding cube and keep the FIRST `n_ins` that land inside
+the sphere (a running accepted-count carried across sample blocks), which
+reproduces both the uniform-in-sphere density AND the reference's exact
+per-frame insertion count — shell-mode histogram totals equal
+n_ins * n_frames, matching the published artifact semantics. (The chance of
+fewer than n_ins acceptances in 2x oversampling is < 1e-80 at the default
+n_ins = 1e5; sphere/cube acceptance is pi/6 = 0.524.) RNG is jax PRNG
+(deterministic given `seed`) inside the same jitted scan as the overlap
+counting, so nothing round-trips to host.
 """
 
 from __future__ import annotations
@@ -70,31 +75,43 @@ def chem_pot_calc(
                 hp, box, k, sp = frame
 
             def one_block(carry2, kb):
+                hist_acc, n_acc = carry2
                 if keyword:
-                    # uniform in the cube, masked to the inscribed sphere,
-                    # centered on a random solute heavy atom
+                    # uniform in the cube around a random solute heavy atom;
+                    # keep the first n_ins samples inside the sphere
+                    # (rejection resampling with fixed shapes)
                     k1, k2 = jax.random.split(kb)
                     delta = jax.random.uniform(
                         k1, (ins_block, 3), minval=-shell_cutoff, maxval=shell_cutoff
                     )
                     inside = jnp.sum(delta * delta, axis=1) <= shell_cutoff**2
+                    rank = n_acc + jnp.cumsum(inside.astype(jnp.int32))
+                    keep = inside & (rank <= n_ins)
                     which = jax.random.randint(k2, (ins_block,), 0, sp.shape[0])
                     probes = sp[which] + delta
                 else:
                     probes = jax.random.uniform(kb, (ins_block, 3)) * box[None, :]
-                    inside = jnp.ones(ins_block, bool)
+                    # cap the final partial block so exactly n_ins count
+                    rank = n_acc + 1 + jnp.arange(ins_block, dtype=jnp.int32)
+                    keep = rank <= n_ins
                 n_over = pairs.neighbor_counts(
                     probes, hp, box, 0.0, probe_radius, row_block=ins_block
                 )
                 n_over = jnp.clip(n_over, 0, max_overlap - 1)
                 hist = jnp.zeros(max_overlap, jnp.float32).at[n_over].add(
-                    inside.astype(jnp.float32)
+                    keep.astype(jnp.float32)
                 )
-                return carry2 + hist, None
+                n_acc = n_acc + jnp.sum(keep.astype(jnp.int32))
+                return (hist_acc + hist, n_acc), None
 
-            n_blocks = -(-n_ins // ins_block)
+            # shell mode oversamples 2x so >= n_ins acceptances are
+            # (overwhelmingly) available; bulk mode needs exactly n_ins draws
+            n_target = 2 * n_ins if keyword else n_ins
+            n_blocks = -(-n_target // ins_block)
             keys = jax.random.split(k, n_blocks)
-            hist, _ = jax.lax.scan(one_block, jnp.zeros(max_overlap, jnp.float32), keys)
+            (hist, _), _ = jax.lax.scan(
+                one_block, (jnp.zeros(max_overlap, jnp.float32), jnp.int32(0)), keys
+            )
             return carry + hist, None
 
         xs = (heavy_pos, boxes, frame_keys) if sol_pos is None else (

@@ -66,13 +66,25 @@ def hb_calc(
     def fold_mol(v, per_mol):
         return v.reshape(n_sol, per_mol).sum(axis=1) if per_mol else jnp.zeros(n_sol)
 
+    # the wat-wat matrix (Nw x 2Nw) dominates; on TPU the fused Pallas
+    # counting kernel replaces it (consumers only need row/column sums)
+    use_pallas_watwat = jax.devices()[0].platform == "tpu" and nw >= 512
+
     def step(carry, frame):
         p, box = frame
         wat_acc_pos = p[wat_acc]
         wat_don_pos = p[wat_don]
         wat_donh_pos = p[wat_donh]
-        watwat = general_hbonds(wat_acc_pos, wat_don_pos, wat_donh_pos, box, dist_cut, ang_cut)
-        wat_tot = jnp.sum(watwat, axis=1) + jnp.sum(watwat, axis=0).reshape(nw, 2).sum(axis=1)
+        if use_pallas_watwat:
+            from waterorderlib_tpu.ops.pallas.hbond_kernel import hbond_counts
+
+            acc_cnt, don_cnt = hbond_counts(
+                wat_acc_pos, wat_don_pos, wat_donh_pos, box, dist_cut, ang_cut
+            )
+            wat_tot = acc_cnt + don_cnt.reshape(nw, 2).sum(axis=1)
+        else:
+            watwat = general_hbonds(wat_acc_pos, wat_don_pos, wat_donh_pos, box, dist_cut, ang_cut)
+            wat_tot = jnp.sum(watwat, axis=1) + jnp.sum(watwat, axis=0).reshape(nw, 2).sum(axis=1)
 
         if has_sol:
             sO_acc, sO_don, sO_donh = p[sol_acc_o], p[sol_don_o], p[sol_donh_o]

@@ -112,6 +112,50 @@ def _mean_ci_rows(per_frame: np.ndarray, seed):
 # tetOrderCalc
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("n_bins",))
+def _q_pop_stats(q_all, masks, n_bins, lo, hi):
+    """Masked population statistics over precomputed q values: returns
+    (hist (P+1, n_bins), (means (F, P+1), vars (F, P+1))). Module-level jit
+    so chunked drivers reuse the compiled stats across chunks."""
+
+    def per_frame(q, mask):
+        mean, var = histograms.masked_mean_var(q[None, :], mask)
+        h = jax.vmap(lambda m: histograms.masked_histogram(q, m, n_bins, lo, hi))(mask)
+        return mean, var, h
+
+    means, vars_, hists = jax.vmap(per_frame)(q_all, masks)
+    return jnp.sum(hists, axis=0), (means, vars_)
+
+
+def _tet_core(wat_pos, boxes, masks, low_cut, high_cut, row_block, n_bins, lo, hi):
+    """q + population statistics for one frame batch: returns
+    (hist (P+1, n_bins), (means (F, P+1), vars (F, P+1)))."""
+    nw = wat_pos.shape[1]
+    # On TPU the fused Pallas kernel computes q for all waters per frame;
+    # populations are masked reductions over the same values (identical by
+    # construction — q per center is subset-independent).
+    use_pallas = jax.devices()[0].platform == "tpu" and nw >= 2 * row_block
+    if use_pallas:
+        from waterorderlib_tpu.ops.pallas.qtet2 import order_param_q_certified
+
+        # certificate check happens on host, so q is computed outside the
+        # stats jit (one kernel launch for the whole trajectory either way)
+        q_all = order_param_q_certified(wat_pos, boxes, low_cut, high_cut)
+        return _q_pop_stats(q_all, masks, n_bins, lo, hi)
+
+    def step(hist, frame):
+        pos, box, mask = frame
+        q = qtet.order_param_q(pos, pos, box, low_cut, high_cut, row_block)  # (Nw,)
+        mean, var = histograms.masked_mean_var(q[None, :], mask)  # (P+1,)
+        h = jax.vmap(lambda m: histograms.masked_histogram(q, m, n_bins, lo, hi))(mask)
+        return hist + h, (mean, var)
+
+    n_pops1 = masks.shape[1]
+    return _scan_frames(
+        step, jnp.zeros((n_pops1, n_bins), jnp.float32), wat_pos, boxes, masks
+    )
+
+
 def tet_order_calc(
     top_file,
     traj_file,
@@ -124,12 +168,56 @@ def tet_order_calc(
     output_dir: str = ".",
     row_block: int = pairs.DEFAULT_ROW_BLOCK,
     seed: int | None = 0,
+    chunk_frames: int | None = None,
 ):
     """Tetrahedral order parameter driver (orderParam_lib.py:1426-1503).
 
     Returns (avgQ, varQ): each [means (P+1,), CIs (P+1,)] where slot 0 is the
     all-water population. Writes qDistribution_j.txt per population.
+
+    With `chunk_frames` set, the trajectory streams through the device in
+    chunks of that many frames (double-buffered host prefetch,
+    io/streaming.py) — larger-than-memory trajectories bit-match the
+    single-shot results because every per-frame quantity is frame-local.
     """
+    n_bins, lo, hi = 500, 0.0, 1.0
+    if chunk_frames is not None:
+        from waterorderlib_tpu.io.streaming import iter_chunks
+        from waterorderlib_tpu.io.trajectory import load_topology, Trajectory
+
+        top = top_file if isinstance(top_file, Topology) else load_topology(top_file)
+        wat_inds, _, _ = top.get_wat_inds(wat_res)
+        nw = len(wat_inds)
+        row_map = _row_of_atom(wat_inds, top.n_atoms)
+        hist = np.zeros((n_pops + 1, n_bins), np.float32)
+        means_parts, vars_parts = [], []
+        frame0 = 0
+        for pos_c, boxes_c in iter_chunks(traj_file, chunk_frames, stride):
+            fc = pos_c.shape[0]
+            sub_c = (
+                sub_inds[frame0 : frame0 + fc] if sub_inds is not None else None
+            )
+            pops = pop_masks_from_subinds(sub_c, fc, n_pops, row_map, nw)
+            masks_c = jnp.asarray(
+                np.concatenate([np.ones((fc, 1, nw), bool), pops], axis=1)
+            )
+            h, (m, v) = _tet_core(
+                jnp.asarray(pos_c[:, wat_inds, :]), jnp.asarray(boxes_c),
+                masks_c, low_cut, high_cut, row_block, n_bins, lo, hi,
+            )
+            hist += np.asarray(h)
+            means_parts.append(np.asarray(m))
+            vars_parts.append(np.asarray(v))
+            frame0 += fc
+        avg_q = np.concatenate(means_parts, axis=0)
+        var_q = np.concatenate(vars_parts, axis=0)
+        for j in range(n_pops + 1):
+            _save_hist(
+                os.path.join(output_dir, f"qDistribution_{j}.txt"),
+                hist[j], n_bins, lo, hi, "qVal    frequency",
+            )
+        return _mean_ci_rows(avg_q, seed), _mean_ci_rows(var_q, seed)
+
     top, traj = _resolve_system(top_file, traj_file, stride)
     wat_inds, _, _ = top.get_wat_inds(wat_res)
     F = traj.n_frames
@@ -140,43 +228,10 @@ def tet_order_calc(
     pops = pop_masks_from_subinds(sub_inds, F, n_pops, row_map, nw)
     all_mask = np.ones((F, 1, nw), dtype=bool)
     masks = jnp.asarray(np.concatenate([all_mask, pops], axis=1))  # (F, P+1, Nw)
-    n_bins, lo, hi = 500, 0.0, 1.0
 
-    # On TPU the fused Pallas kernel computes q for all waters per frame;
-    # populations are masked reductions over the same values (identical by
-    # construction — q per center is subset-independent).
-    use_pallas = jax.devices()[0].platform == "tpu" and nw >= 2 * row_block
-    if use_pallas:
-        from waterorderlib_tpu.ops.pallas.qtet2 import order_param_q_certified
-
-        # certificate check happens on host, so q is computed outside the
-        # stats jit (one kernel launch for the whole trajectory either way)
-        q_all = order_param_q_certified(wat_pos, boxes, low_cut, high_cut)
-
-        @jax.jit
-        def run_stats(q_all, masks):
-            def per_frame(q, mask):
-                mean, var = histograms.masked_mean_var(q[None, :], mask)
-                h = jax.vmap(
-                    lambda m: histograms.masked_histogram(q, m, n_bins, lo, hi)
-                )(mask)
-                return mean, var, h
-
-            means, vars_, hists = jax.vmap(per_frame)(q_all, masks)
-            return jnp.sum(hists, axis=0), (means, vars_)
-
-        hist, (avg_q, var_q) = run_stats(q_all, masks)
-    else:
-        def step(hist, frame):
-            pos, box, mask = frame
-            q = qtet.order_param_q(pos, pos, box, low_cut, high_cut, row_block)  # (Nw,)
-            mean, var = histograms.masked_mean_var(q[None, :], mask)  # (P+1,)
-            h = jax.vmap(lambda m: histograms.masked_histogram(q, m, n_bins, lo, hi))(mask)
-            return hist + h, (mean, var)
-
-        hist, (avg_q, var_q) = _scan_frames(
-            step, jnp.zeros((n_pops + 1, n_bins), jnp.float32), wat_pos, boxes, masks
-        )
+    hist, (avg_q, var_q) = _tet_core(
+        wat_pos, boxes, masks, low_cut, high_cut, row_block, n_bins, lo, hi
+    )
     hist = np.asarray(hist)
     for j in range(n_pops + 1):
         _save_hist(
@@ -392,6 +447,42 @@ def lsi_calc(
     all_mask = np.ones((F, 1, nw), dtype=bool)
     masks = jnp.asarray(np.concatenate([all_mask, pops], axis=1))
     n_bins, lo, hi = 500, 0.0, 0.3
+
+    # TPU: fused LSI kernel over the whole trajectory (certified); the
+    # kernel's K=24 candidate list is a superset of any k <= 24 in practice
+    # (water has ~6 in-shell members and the next-shell pick is among the
+    # nearest few candidates beyond the cutoff)
+    use_pallas = jax.devices()[0].platform == "tpu" and nw >= 2 * row_block
+    if use_pallas:
+        from waterorderlib_tpu.ops.pallas import lsi_kernel
+
+        lsi_v, lsi_ok, _, covered = lsi_kernel.lsi_traj(wat_pos, boxes, low_cut, high_cut)
+        if bool(np.asarray(covered).all()):
+
+            @jax.jit
+            def run_stats(lsi_v, lsi_ok, masks):
+                def one_frame(v, ok, mask):
+                    pop_valid = mask & ok[None, :]
+                    mean, var = histograms.masked_mean_var(v[None, :], pop_valid)
+                    h = jax.vmap(
+                        lambda m: histograms.masked_histogram(v, m, n_bins, lo, hi)
+                    )(pop_valid)
+                    return h, mean, var
+
+                h, mean, var = jax.vmap(one_frame)(lsi_v, lsi_ok, masks)
+                return jnp.sum(h, axis=0), (mean, var)
+
+            hist, (avg_lsi, var_lsi) = run_stats(lsi_v, lsi_ok, masks)
+            hist = np.asarray(hist)
+            for j in range(n_pops + 1):
+                _save_hist(
+                    os.path.join(output_dir, f"lsiDistribution_{j}.txt"),
+                    hist[j], n_bins, lo, hi, "lsiVal [A^2]    frequency",
+                )
+            return (
+                _mean_ci_rows(np.asarray(avg_lsi), seed),
+                _mean_ci_rows(np.asarray(var_lsi), seed),
+            )
 
     def step(hist, frame):
         pos, box, mask = frame

@@ -42,6 +42,21 @@ PAIR_B = np.array([b for a in range(K) for b in range(a + 1, K)], np.int32)
 # and the (a == b) diagonal is never enumerated, so mark via b = K)
 PAIR_B_PADDED = np.concatenate([PAIR_B, np.full(N_PAIRS_PAD - N_PAIRS, K, np.int32)])
 
+# Abramowitz & Stegun 4.4.46 coefficients: |acos_poly - acos| <= 2e-8 rad.
+# Mosaic has no acos/atan2 lowering, so the kernel evaluates this instead.
+_ACOS_C = (1.5707963050, -0.2145988016, 0.0889789874, -0.0501743046,
+           0.0308918810, -0.0170881256, 0.0066700901, -0.0012624911)
+
+
+def _acos(x):
+    """Polynomial arccos for x in [-1, 1] (radians), Pallas-lowerable."""
+    ax = jnp.abs(x)
+    p = jnp.float32(_ACOS_C[-1])
+    for c in _ACOS_C[-2::-1]:
+        p = p * ax + jnp.float32(c)
+    r = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * p
+    return jnp.where(x >= 0, r, jnp.float32(np.pi) - r)
+
 
 def _make_kernel(pad: int):
     def kernel(scalars_ref, boxes_ref, starts_ref, ext_t_ref, ang_ref, cnt_ref, dsq_ref):
@@ -105,7 +120,7 @@ def _make_kernel(pad: int):
         for p in range(N_PAIRS):
             a, b = int(PAIR_A[p]), int(PAIR_B[p])
             cosv = ux[a] * ux[b] + uy[a] * uy[b] + uz[a] * uz[b]
-            ang = jnp.arccos(jnp.clip(cosv, -1.0, 1.0)) * rad2deg
+            ang = _acos(jnp.clip(cosv, -1.0, 1.0)) * rad2deg
             pair_ok = oks[a] & oks[b]
             cols.append(jnp.where(pair_ok, ang, -1.0))
         for _ in range(N_PAIRS_PAD - N_PAIRS):
@@ -138,8 +153,11 @@ def neighbor_pair_angles_traj(
     exact distance ties), counts are exact, and validity is
     PAIR_B[p] < min(count, 16).
     """
-    if margin < high_cut:
-        raise ValueError("slab margin must cover the shell cutoff")
+    # margin must cover the shell cutoff; checkable only when both are
+    # concrete (they may be tracers under an outer jit)
+    if isinstance(margin, (int, float)) and isinstance(high_cut, (int, float)):
+        if margin < high_cut:
+            raise ValueError("slab margin must cover the shell cutoff")
     F, n = pos.shape[0], pos.shape[1]
     prep = slab_prep_traj(pos, boxes, margin, row_tile, window, pad)
     scalars = jnp.stack(

@@ -139,8 +139,8 @@ def lsi_traj(
     boxes: jnp.ndarray,
     low_cut: float = 0.0,
     high_cut: float = 3.7,
-    row_tile: int = 256,
-    window: int = 2048,
+    row_tile: int = 128,  # 24 unrolled extraction rounds: 256-row tiles
+    window: int = 2048,   # exceed the 16 MB scoped-VMEM temp budget
     pad: int = 512,
     unsort: bool = True,
 ):
