@@ -37,7 +37,7 @@ import numpy as np
 BASELINE_FPS = 9.073
 
 N_WATERS = 4096
-N_FRAMES = 256
+N_FRAMES = 512
 HIGH_CUT = 10.0
 
 

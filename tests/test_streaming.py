@@ -80,3 +80,82 @@ def test_tet_order_calc_chunked_with_populations(tmp_path):
         row_block=16, chunk_frames=4,
     )
     np.testing.assert_array_equal(a_avg[0], b_avg[0])
+
+
+def test_three_body_calc_chunked_bitmatches(tmp_path):
+    top, traj = make_water_box(N_WAT, n_frames=N_FRAMES, seed=56)
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    ra = orderparams.three_body_calc(top, traj, output_dir=str(tmp_path / "a"), row_block=16)
+    rb = orderparams.three_body_calc(
+        top, traj, output_dir=str(tmp_path / "b"), row_block=16, chunk_frames=3
+    )
+    for a, b in zip(ra, rb):
+        np.testing.assert_array_equal(a[0], b[0])
+    ha = np.loadtxt(tmp_path / "a" / "3bDistribution_0.txt")
+    hb = np.loadtxt(tmp_path / "b" / "3bDistribution_0.txt")
+    np.testing.assert_array_equal(ha, hb)
+
+
+def test_lsi_calc_chunked_bitmatches(tmp_path):
+    top, traj = make_water_box(N_WAT, n_frames=N_FRAMES, seed=57)
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    aa, va = orderparams.lsi_calc(top, traj, output_dir=str(tmp_path / "a"), row_block=16)
+    ab, vb = orderparams.lsi_calc(
+        top, traj, output_dir=str(tmp_path / "b"), row_block=16, chunk_frames=4
+    )
+    np.testing.assert_array_equal(aa[0], ab[0])
+    ha = np.loadtxt(tmp_path / "a" / "lsiDistribution_0.txt")
+    hb = np.loadtxt(tmp_path / "b" / "lsiDistribution_0.txt")
+    np.testing.assert_array_equal(ha, hb)
+
+
+def test_chunked_checkpoint_resume(tmp_path):
+    """An interrupted chunked scan resumes from the checkpoint and matches
+    the uninterrupted result exactly (elastic recovery, SURVEY §5)."""
+    import os
+    from waterorderlib_tpu.io import netcdf as nc_mod
+
+    top, traj = make_water_box(N_WAT, n_frames=N_FRAMES, seed=58)
+    p = str(tmp_path / "t.nc")
+    nc_mod.write_amber_netcdf(p, traj)
+    ck = str(tmp_path / "ck.npz")
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    want_avg, want_var = orderparams.tet_order_calc(
+        top, p, output_dir=str(tmp_path / "a"), row_block=16, chunk_frames=3
+    )
+
+    # interrupt after 2 chunks by monkeypatching the core path
+    calls = {"n": 0}
+    orig = orderparams._tet_core
+
+    def failing(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("injected failure")
+        return orig(*a, **k)
+
+    orderparams._tet_core = failing
+    try:
+        import pytest
+        with pytest.raises(RuntimeError):
+            orderparams.tet_order_calc(
+                top, p, output_dir=str(tmp_path / "b"), row_block=16,
+                chunk_frames=3, checkpoint=ck,
+            )
+    finally:
+        orderparams._tet_core = orig
+    assert os.path.exists(ck)  # partial state persisted
+
+    got_avg, got_var = orderparams.tet_order_calc(
+        top, p, output_dir=str(tmp_path / "b"), row_block=16,
+        chunk_frames=3, checkpoint=ck,
+    )
+    np.testing.assert_array_equal(want_avg[0], got_avg[0])
+    np.testing.assert_array_equal(want_var[0], got_var[0])
+    assert not os.path.exists(ck)  # removed on success
+    ha = np.loadtxt(tmp_path / "a" / "qDistribution_0.txt")
+    hb = np.loadtxt(tmp_path / "b" / "qDistribution_0.txt")
+    np.testing.assert_array_equal(ha, hb)

@@ -169,6 +169,7 @@ def tet_order_calc(
     row_block: int = pairs.DEFAULT_ROW_BLOCK,
     seed: int | None = 0,
     chunk_frames: int | None = None,
+    checkpoint: str | None = None,
 ):
     """Tetrahedral order parameter driver (orderParam_lib.py:1426-1503).
 
@@ -182,35 +183,13 @@ def tet_order_calc(
     """
     n_bins, lo, hi = 500, 0.0, 1.0
     if chunk_frames is not None:
-        from waterorderlib_tpu.io.streaming import iter_chunks
-        from waterorderlib_tpu.io.trajectory import load_topology, Trajectory
-
-        top = top_file if isinstance(top_file, Topology) else load_topology(top_file)
-        wat_inds, _, _ = top.get_wat_inds(wat_res)
-        nw = len(wat_inds)
-        row_map = _row_of_atom(wat_inds, top.n_atoms)
-        hist = np.zeros((n_pops + 1, n_bins), np.float32)
-        means_parts, vars_parts = [], []
-        frame0 = 0
-        for pos_c, boxes_c in iter_chunks(traj_file, chunk_frames, stride):
-            fc = pos_c.shape[0]
-            sub_c = (
-                sub_inds[frame0 : frame0 + fc] if sub_inds is not None else None
-            )
-            pops = pop_masks_from_subinds(sub_c, fc, n_pops, row_map, nw)
-            masks_c = jnp.asarray(
-                np.concatenate([np.ones((fc, 1, nw), bool), pops], axis=1)
-            )
-            h, (m, v) = _tet_core(
-                jnp.asarray(pos_c[:, wat_inds, :]), jnp.asarray(boxes_c),
-                masks_c, low_cut, high_cut, row_block, n_bins, lo, hi,
-            )
-            hist += np.asarray(h)
-            means_parts.append(np.asarray(m))
-            vars_parts.append(np.asarray(v))
-            frame0 += fc
-        avg_q = np.concatenate(means_parts, axis=0)
-        var_q = np.concatenate(vars_parts, axis=0)
+        hist, (avg_q, var_q) = _run_chunked(
+            top_file, traj_file, sub_inds, n_pops, wat_res, stride, chunk_frames,
+            lambda wp, b, m: _tet_core(
+                wp, b, m, low_cut, high_cut, row_block, n_bins, lo, hi
+            ),
+            n_carry=1, n_stats=2, checkpoint=checkpoint,
+        )
         for j in range(n_pops + 1):
             _save_hist(
                 os.path.join(output_dir, f"qDistribution_{j}.txt"),
@@ -245,41 +224,14 @@ def tet_order_calc(
 # threeBodyCalc
 # ---------------------------------------------------------------------------
 
-def three_body_calc(
-    top_file,
-    traj_file,
-    sub_inds=None,
-    n_pops: int = 0,
-    wat_res: str = "WAT",
-    n_bins: int = 500,
-    stride: int = 1,
-    low_cut: float = 0.0,
-    high_cut: float = 3.413,
-    max_neighbors: int = 16,
-    output_dir: str = ".",
-    row_block: int = pairs.DEFAULT_ROW_BLOCK,
-    seed: int | None = 0,
-    output_2d: bool = False,
+def _three_body_core(
+    wat_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block,
+    n_bins, lo, hi, n2x,
 ):
-    """Three-body angle distribution driver (orderParam_lib.py:1269-1424).
-
-    Returns (pTet, avgCos, varCos, entropy, nWats), each [means, CIs] over
-    populations (slot 0 = all waters). Writes 3bDistribution_j.txt, and with
-    output_2d also the (theta, coordination) 2-D histogram PNG + txt.
-    """
-    top, traj = _resolve_system(top_file, traj_file, stride)
-    wat_inds, _, _ = top.get_wat_inds(wat_res)
-    F = traj.n_frames
-    nw = len(wat_inds)
-    wat_pos = jnp.asarray(traj.positions[:, wat_inds, :])
-    boxes = jnp.asarray(traj.boxes)
-    row_map = _row_of_atom(wat_inds, top.n_atoms)
-    pops = pop_masks_from_subinds(sub_inds, F, n_pops, row_map, nw)
-    all_mask = np.ones((F, 1, nw), dtype=bool)
-    masks = jnp.asarray(np.concatenate([all_mask, pops], axis=1))
-    lo, hi = 0.0, 180.0
-    # 2-D (coordination, angle) histogram, xedges=arange(-1.5,13.5) (ref :1390)
-    n2x = 14
+    """3-body angles + metrics for one frame batch: returns
+    ((hist (P+1, n_bins), hist2d (n2x*n_bins,)),
+     (frac, avg, var, ent, n_wats) each (F, P+1))."""
+    nw = wat_pos.shape[1]
 
     def per_pop_metrics(aset, center_mask):
         valid = aset.valid & center_mask[:, None, None]
@@ -332,11 +284,7 @@ def three_body_calc(
                 n_wats = jnp.sum(masks, axis=-1).astype(jnp.float32)
                 return (jnp.sum(h, axis=0), jnp.sum(h2, axis=0)), (frac, avg, var, ent, n_wats)
 
-            (hist, hist2d), (frac, avg, var, ent, n_wats) = run_stats(ang, cnt, masks)
-            return _three_body_outputs(
-                hist, hist2d, frac, avg, var, ent, n_wats,
-                n_pops, n_bins, lo, hi, n2x, output_dir, output_2d, seed,
-            )
+            return run_stats(ang, cnt, masks)
 
     def step(carry, frame):
         hist, hist2d = carry
@@ -359,16 +307,147 @@ def three_body_calc(
         return (hist + h, hist2d + h2), (frac, avg, var, ent, n_wats)
 
     carry0 = (
-        jnp.zeros((n_pops + 1, n_bins), jnp.float32),
+        jnp.zeros((masks.shape[1], n_bins), jnp.float32),
         jnp.zeros(n2x * n_bins, jnp.float32),
     )
-    (hist, hist2d), (frac, avg, var, ent, n_wats) = _scan_frames(
-        step, carry0, wat_pos, boxes, masks
-    )
+    return _scan_frames(step, carry0, wat_pos, boxes, masks)
+
+
+def three_body_calc(
+    top_file,
+    traj_file,
+    sub_inds=None,
+    n_pops: int = 0,
+    wat_res: str = "WAT",
+    n_bins: int = 500,
+    stride: int = 1,
+    low_cut: float = 0.0,
+    high_cut: float = 3.413,
+    max_neighbors: int = 16,
+    output_dir: str = ".",
+    row_block: int = pairs.DEFAULT_ROW_BLOCK,
+    seed: int | None = 0,
+    output_2d: bool = False,
+    chunk_frames: int | None = None,
+):
+    """Three-body angle distribution driver (orderParam_lib.py:1269-1424).
+
+    Returns (pTet, avgCos, varCos, entropy, nWats), each [means, CIs] over
+    populations (slot 0 = all waters). Writes 3bDistribution_j.txt, and with
+    output_2d also the (theta, coordination) 2-D histogram PNG + txt.
+    With `chunk_frames` the trajectory streams in chunks (io/streaming.py).
+    """
+    lo, hi = 0.0, 180.0
+    # 2-D (coordination, angle) histogram, xedges=arange(-1.5,13.5) (ref :1390)
+    n2x = 14
+
+    def core(wat_pos, boxes, masks):
+        return _three_body_core(
+            wat_pos, boxes, masks, low_cut, high_cut, max_neighbors,
+            row_block, n_bins, lo, hi, n2x,
+        )
+
+    if chunk_frames is not None:
+        (hist, hist2d), stats = _run_chunked(
+            top_file, traj_file, sub_inds, n_pops, wat_res, stride,
+            chunk_frames, core, n_carry=2, n_stats=5,
+        )
+        frac, avg, var, ent, n_wats = stats
+    else:
+        top, traj = _resolve_system(top_file, traj_file, stride)
+        wat_inds, _, _ = top.get_wat_inds(wat_res)
+        F = traj.n_frames
+        nw = len(wat_inds)
+        wat_pos = jnp.asarray(traj.positions[:, wat_inds, :])
+        boxes = jnp.asarray(traj.boxes)
+        row_map = _row_of_atom(wat_inds, top.n_atoms)
+        pops = pop_masks_from_subinds(sub_inds, F, n_pops, row_map, nw)
+        masks = jnp.asarray(
+            np.concatenate([np.ones((F, 1, nw), bool), pops], axis=1)
+        )
+        (hist, hist2d), (frac, avg, var, ent, n_wats) = core(wat_pos, boxes, masks)
     return _three_body_outputs(
         hist, hist2d, frac, avg, var, ent, n_wats,
         n_pops, n_bins, lo, hi, n2x, output_dir, output_2d, seed,
     )
+
+
+def _run_chunked(
+    top_file, traj_file, sub_inds, n_pops, wat_res, stride, chunk_frames,
+    core, n_carry, n_stats, checkpoint: str | None = None,
+):
+    """Stream a trajectory through `core(wat_pos, boxes, masks)` in chunks.
+
+    core returns (carry_tuple_or_array, stats_tuple_or_array); carried
+    histograms are summed across chunks, per-frame statistics concatenated.
+    Bit-matches the single-shot path (every per-frame quantity is
+    frame-local). Implements SURVEY §2c's PP-analog: the next chunk decodes
+    on a prefetch thread while the device computes the current one.
+
+    With `checkpoint` set (an .npz path), partial results are written after
+    every chunk and an interrupted scan resumes from the last completed
+    chunk — elastic recovery for long production trajectories (SURVEY §5).
+    The checkpoint is fingerprinted by (chunk_frames, stride, n_pops) and
+    discarded on mismatch; it is removed on successful completion.
+    """
+    from waterorderlib_tpu.io.streaming import iter_chunks
+    from waterorderlib_tpu.io.trajectory import load_topology
+
+    top = top_file if isinstance(top_file, Topology) else load_topology(top_file)
+    wat_inds, _, _ = top.get_wat_inds(wat_res)
+    nw = len(wat_inds)
+    row_map = _row_of_atom(wat_inds, top.n_atoms)
+    carry_acc = None
+    stats_parts = []
+    frame0 = 0
+    resume_from = 0
+    fp = np.array([chunk_frames, stride, n_pops, nw])
+    if checkpoint and os.path.exists(checkpoint):
+        with np.load(checkpoint, allow_pickle=False) as ck:
+            if np.array_equal(ck["fingerprint"], fp):
+                resume_from = int(ck["frames_done"])
+                carry_acc = [ck[f"carry_{i}"] for i in range(int(ck["n_carry"]))]
+                stats_parts = [
+                    [ck[f"stats_{c}_{i}"] for i in range(n_stats)]
+                    for c in range(int(ck["n_chunks"]))
+                ]
+    for pos_c, boxes_c in iter_chunks(traj_file, chunk_frames, stride):
+        fc = pos_c.shape[0]
+        if frame0 + fc <= resume_from:
+            frame0 += fc
+            continue  # chunk already in the checkpoint
+        sub_c = sub_inds[frame0 : frame0 + fc] if sub_inds is not None else None
+        pops = pop_masks_from_subinds(sub_c, fc, n_pops, row_map, nw)
+        masks_c = jnp.asarray(
+            np.concatenate([np.ones((fc, 1, nw), bool), pops], axis=1)
+        )
+        carry, stats = core(jnp.asarray(pos_c[:, wat_inds, :]), jnp.asarray(boxes_c), masks_c)
+        carry = [np.asarray(c) for c in (carry if isinstance(carry, (tuple, list)) else (carry,))]
+        stats = [np.asarray(s) for s in (stats if isinstance(stats, (tuple, list)) else (stats,))]
+        carry_acc = carry if carry_acc is None else [a + c for a, c in zip(carry_acc, carry)]
+        stats_parts.append(stats)
+        frame0 += fc
+        if checkpoint:
+            payload = {
+                "fingerprint": fp,
+                "frames_done": np.array(frame0),
+                "n_carry": np.array(len(carry_acc)),
+                "n_chunks": np.array(len(stats_parts)),
+            }
+            payload.update({f"carry_{i}": c for i, c in enumerate(carry_acc)})
+            for c, part in enumerate(stats_parts):
+                payload.update({f"stats_{c}_{i}": s for i, s in enumerate(part)})
+            tmp = checkpoint + ".tmp.npz"  # np.savez appends .npz itself
+            np.savez(checkpoint + ".tmp", **payload)
+            os.replace(tmp, checkpoint)
+    if checkpoint and os.path.exists(checkpoint):
+        os.remove(checkpoint)
+    stats_cat = [
+        np.concatenate([p[i] for p in stats_parts], axis=0) for i in range(n_stats)
+    ]
+    if n_carry == 1:
+        return carry_acc[0], (stats_cat if n_stats > 1 else stats_cat[0])
+    return tuple(carry_acc), (stats_cat if n_stats > 1 else stats_cat[0])
 
 
 def _three_body_outputs(
@@ -420,6 +499,51 @@ def _three_body_outputs(
 # lsiCalc
 # ---------------------------------------------------------------------------
 
+def _lsi_core(wat_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block,
+              n_bins, lo, hi):
+    """LSI + population statistics for one frame batch: returns
+    (hist (P+1, n_bins), (means (F, P+1), vars (F, P+1)))."""
+    nw = wat_pos.shape[1]
+    # TPU: fused LSI kernel over the whole trajectory (certified); the
+    # kernel's K=24 candidate list is a superset of any k <= 24 in practice
+    # (water has ~6 in-shell members and the next-shell pick is among the
+    # nearest few candidates beyond the cutoff)
+    use_pallas = jax.devices()[0].platform == "tpu" and nw >= 2 * row_block
+    if use_pallas:
+        from waterorderlib_tpu.ops.pallas import lsi_kernel
+
+        lsi_v, lsi_ok, _, covered = lsi_kernel.lsi_traj(wat_pos, boxes, low_cut, high_cut)
+        if bool(np.asarray(covered).all()):
+            return _masked_value_pop_stats(lsi_v, lsi_ok, masks, n_bins, lo, hi)
+
+    def step(hist, frame):
+        pos, box, mask = frame
+        res = lsi_mod.lsi(pos, pos, box, low_cut, high_cut, k=max_neighbors, row_block=row_block)
+        pop_valid = mask & res.valid[None, :]
+        mean, var = histograms.masked_mean_var(res.lsi[None, :], pop_valid)
+        h = jax.vmap(lambda m: histograms.masked_histogram(res.lsi, m, n_bins, lo, hi))(pop_valid)
+        return hist + h, (mean, var)
+
+    return _scan_frames(
+        step, jnp.zeros((masks.shape[1], n_bins), jnp.float32), wat_pos, boxes, masks
+    )
+
+
+@partial(jax.jit, static_argnames=("n_bins",))
+def _masked_value_pop_stats(values, valid, masks, n_bins, lo, hi):
+    """(hist, (means, vars)) of per-atom values under per-population masks
+    intersected with a per-atom validity mask."""
+
+    def one_frame(v, ok, mask):
+        pop_valid = mask & ok[None, :]
+        mean, var = histograms.masked_mean_var(v[None, :], pop_valid)
+        h = jax.vmap(lambda m: histograms.masked_histogram(v, m, n_bins, lo, hi))(pop_valid)
+        return h, mean, var
+
+    h, mean, var = jax.vmap(one_frame)(values, valid, masks)
+    return jnp.sum(h, axis=0), (mean, var)
+
+
 def lsi_calc(
     top_file,
     traj_file,
@@ -433,9 +557,28 @@ def lsi_calc(
     output_dir: str = ".",
     row_block: int = pairs.DEFAULT_ROW_BLOCK,
     seed: int | None = 0,
+    chunk_frames: int | None = None,
 ):
     """LSI driver (orderParam_lib.py:1586-1663). Returns (avgLSI, varLSI);
-    writes lsiDistribution_j.txt per population (500 bins over [0, 0.3])."""
+    writes lsiDistribution_j.txt per population (500 bins over [0, 0.3]).
+    With `chunk_frames` the trajectory streams in chunks (io/streaming.py)."""
+    n_bins, lo, hi = 500, 0.0, 0.3
+    if chunk_frames is not None:
+        hist, (avg_lsi, var_lsi) = _run_chunked(
+            top_file, traj_file, sub_inds, n_pops, wat_res, stride, chunk_frames,
+            lambda wp, b, m: _lsi_core(
+                wp, b, m, low_cut, high_cut, max_neighbors, row_block, n_bins, lo, hi
+            ),
+            n_carry=1, n_stats=2,
+        )
+        hist = np.asarray(hist)
+        for j in range(n_pops + 1):
+            _save_hist(
+                os.path.join(output_dir, f"lsiDistribution_{j}.txt"),
+                hist[j], n_bins, lo, hi, "lsiVal [A^2]    frequency",
+            )
+        return _mean_ci_rows(np.asarray(avg_lsi), seed), _mean_ci_rows(np.asarray(var_lsi), seed)
+
     top, traj = _resolve_system(top_file, traj_file, stride)
     wat_inds, _, _ = top.get_wat_inds(wat_res)
     F = traj.n_frames
@@ -446,54 +589,9 @@ def lsi_calc(
     pops = pop_masks_from_subinds(sub_inds, F, n_pops, row_map, nw)
     all_mask = np.ones((F, 1, nw), dtype=bool)
     masks = jnp.asarray(np.concatenate([all_mask, pops], axis=1))
-    n_bins, lo, hi = 500, 0.0, 0.3
 
-    # TPU: fused LSI kernel over the whole trajectory (certified); the
-    # kernel's K=24 candidate list is a superset of any k <= 24 in practice
-    # (water has ~6 in-shell members and the next-shell pick is among the
-    # nearest few candidates beyond the cutoff)
-    use_pallas = jax.devices()[0].platform == "tpu" and nw >= 2 * row_block
-    if use_pallas:
-        from waterorderlib_tpu.ops.pallas import lsi_kernel
-
-        lsi_v, lsi_ok, _, covered = lsi_kernel.lsi_traj(wat_pos, boxes, low_cut, high_cut)
-        if bool(np.asarray(covered).all()):
-
-            @jax.jit
-            def run_stats(lsi_v, lsi_ok, masks):
-                def one_frame(v, ok, mask):
-                    pop_valid = mask & ok[None, :]
-                    mean, var = histograms.masked_mean_var(v[None, :], pop_valid)
-                    h = jax.vmap(
-                        lambda m: histograms.masked_histogram(v, m, n_bins, lo, hi)
-                    )(pop_valid)
-                    return h, mean, var
-
-                h, mean, var = jax.vmap(one_frame)(lsi_v, lsi_ok, masks)
-                return jnp.sum(h, axis=0), (mean, var)
-
-            hist, (avg_lsi, var_lsi) = run_stats(lsi_v, lsi_ok, masks)
-            hist = np.asarray(hist)
-            for j in range(n_pops + 1):
-                _save_hist(
-                    os.path.join(output_dir, f"lsiDistribution_{j}.txt"),
-                    hist[j], n_bins, lo, hi, "lsiVal [A^2]    frequency",
-                )
-            return (
-                _mean_ci_rows(np.asarray(avg_lsi), seed),
-                _mean_ci_rows(np.asarray(var_lsi), seed),
-            )
-
-    def step(hist, frame):
-        pos, box, mask = frame
-        res = lsi_mod.lsi(pos, pos, box, low_cut, high_cut, k=max_neighbors, row_block=row_block)
-        pop_valid = mask & res.valid[None, :]
-        mean, var = histograms.masked_mean_var(res.lsi[None, :], pop_valid)
-        h = jax.vmap(lambda m: histograms.masked_histogram(res.lsi, m, n_bins, lo, hi))(pop_valid)
-        return hist + h, (mean, var)
-
-    hist, (avg_lsi, var_lsi) = _scan_frames(
-        step, jnp.zeros((n_pops + 1, n_bins), jnp.float32), wat_pos, boxes, masks
+    hist, (avg_lsi, var_lsi) = _lsi_core(
+        wat_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block, n_bins, lo, hi
     )
     hist = np.asarray(hist)
     for j in range(n_pops + 1):

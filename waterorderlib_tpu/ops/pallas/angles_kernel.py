@@ -69,7 +69,7 @@ def _make_kernel(pad: int):
         bx, by, bz = boxes_ref[f, 0], boxes_ref[f, 1], boxes_ref[f, 2]
 
         row0 = pad + i * r
-        start = starts_ref[f, i] * 128
+        start = starts_ref[i] * 128
 
         def mi(d, box_l):
             d = jnp.where(d > box_l * 0.5, d - box_l, d)

@@ -47,7 +47,7 @@ def _make_kernel(windowed: bool, pad: int):
         row0 = pad + i * r
         # starts are stored pre-divided by 128 so the product is provably
         # lane-aligned for Mosaic
-        start = starts_ref[f, i] * 128
+        start = starts_ref[i] * 128
 
         def mi(d, box_l):
             # coordinates are pre-wrapped into [0, L); two compare-selects
@@ -177,7 +177,7 @@ def order_param_q_frames(
     pos_p = jnp.pad(pos, ((0, 0), (0, n_pad - n), (0, 0)))
     ext_t = jnp.transpose(pos_p, (0, 2, 1)).astype(jnp.float32)  # (F, 3, Npad)
     n_tiles = n_pad // row_tile
-    starts = jnp.zeros((F, n_tiles), jnp.int32)
+    starts = jnp.zeros((n_tiles,), jnp.int32)
     scalars = _scalars(n, low_cut, high_cut, 0, high_cut)
     out, _ = _launch(ext_t, boxes, starts, scalars, F, n_tiles, row_tile, n_pad, False, 0)
     return out.reshape(F, -1)[:, :n]
@@ -238,7 +238,9 @@ def order_param_q_traj(
     starts = (starts // 128) * 128
     starts = jnp.clip(starts, 0, n_ext - w)
     covered = jnp.broadcast_to(jnp.all(ends - starts <= w), (F,))
-    starts_f = jnp.broadcast_to(((starts // 128).astype(jnp.int32))[None, :], (F, n_tiles))
+    # frame-invariant by construction (frame-0 ordering): store (n_tiles,)
+    # so the SMEM prefetch does not grow with F
+    starts_f = (starts // 128).astype(jnp.int32)
 
     ext_t = jnp.transpose(ext, (0, 2, 1)).astype(jnp.float32)
     scalars = _scalars(n, low_cut, high_cut, pad, margin)

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 class SlabPrep(NamedTuple):
     ext_t: jnp.ndarray   # (F, 3, n_ext) extended transposed coordinates
-    starts: jnp.ndarray  # (F, n_tiles) window starts, pre-divided by 128
+    starts: jnp.ndarray  # (n_tiles,) window starts, pre-divided by 128
+                         # (frame-invariant: frame-0 persistent ordering)
     covered: jnp.ndarray  # (F,) bool: window held every slab candidate
     order0: jnp.ndarray  # (N,) frame-0 z-ordering (sorted -> original scatter)
     w: int               # static window width actually used
@@ -77,7 +78,7 @@ def slab_prep_traj(
     starts = (starts // 128) * 128
     starts = jnp.clip(starts, 0, n_ext - w)
     covered = jnp.broadcast_to(jnp.all(ends - starts <= w), (F,))
-    starts_f = jnp.broadcast_to(((starts // 128).astype(jnp.int32))[None, :], (F, n_tiles))
+    starts_f = (starts // 128).astype(jnp.int32)
 
     ext_t = jnp.transpose(ext, (0, 2, 1)).astype(jnp.float32)
     return SlabPrep(ext_t, starts_f, covered, order0, w, n_tiles)
