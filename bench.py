@@ -199,6 +199,12 @@ def breakdown():
         hbond_fn = scan_fn(
             lambda p, b: hbond_counts(p, p, p + jnp.float32(0.5), b, 3.5, 120.0)[0]
         )
+        from waterorderlib_tpu.ops.pallas import psi6_kernel
+
+        @jax.jit
+        def psi6_fn(p, b):
+            psi, _, _ = psi6_kernel.psi6_traj(p, b, 0.0, 7.0)
+            return psi
     else:
         three_body_fn = scan_fn(
             lambda p, b: angles_mod.angle_histogram(
@@ -213,13 +219,14 @@ def breakdown():
                 bonds.general_hbonds(p, p, p + jnp.float32(0.5), b, 3.5, 120.0), axis=1
             )
         )
+        psi6_fn = scan_fn(
+            lambda p, b: psi6_mod.order_param_psi(p, p, b, 0.0, 7.0, k=24, row_block=512)
+        )
 
     cases = {
         "three_body": three_body_fn,
         "lsi": lsi_fn,
-        "psi6": scan_fn(
-            lambda p, b: psi6_mod.order_param_psi(p, p, b, 0.0, 7.0, k=24, row_block=512)
-        ),
+        "psi6": psi6_fn,
         "hbonds": hbond_fn,
         "rdf": scan_fn(
             lambda p, b: pairs.distance_histogram(p, p, b, 0.1, 150, same=True, row_block=512)

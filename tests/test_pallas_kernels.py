@@ -320,3 +320,42 @@ def test_willard_grid_kernel_matches_xla():
         # meaningful (near-zero gradients normalize to noise directions)
         dots = np.sum(np.asarray(norms) * np.asarray(n_ref), axis=-1)
         assert np.mean(dots > 0.98) > 0.999
+
+
+@needs_tpu
+def test_psi6_kernel_matches_xla():
+    from waterorderlib_tpu.ops.pallas import psi6_kernel
+    from waterorderlib_tpu.order import psi6 as psi6_mod
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n, f = 1024, 2
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    rs = np.random.RandomState(43)
+    base = water_oxygen_lattice(n, box_len, seed=43)
+    pos = jnp.asarray(
+        np.stack([np.mod(base + rs.normal(scale=0.1, size=base.shape), box_len)
+                  for _ in range(f)]), jnp.float32)
+    boxes = jnp.asarray(np.tile(np.array([box_len] * 3, np.float32), (f, 1)))
+    psi, cnt, covered = psi6_kernel.psi6_traj(pos, boxes, 0.0, 7.0, window=1024, pad=256)
+    assert bool(np.all(np.asarray(covered)))
+    for t in range(f):
+        want = np.asarray(
+            psi6_mod.order_param_psi(pos[t], pos[t], boxes[t], 0.0, 7.0, k=24, row_block=512)
+        )
+        np.testing.assert_allclose(np.asarray(psi[t]), want, atol=5e-5)
+
+
+@needs_tpu
+def test_hex_order_calc_pallas_path(tmp_path):
+    from waterorderlib_tpu.io.synthetic import make_water_box
+    from waterorderlib_tpu.drivers.orderparams import hex_order_calc
+
+    top, traj = make_water_box(1200, n_frames=2, seed=47)
+    (tmp_path / "p").mkdir()
+    (tmp_path / "x").mkdir()
+    a1, v1 = hex_order_calc(top, traj, output_dir=str(tmp_path / "p"), row_block=256)
+    a2, v2 = hex_order_calc(top, traj, output_dir=str(tmp_path / "x"), row_block=600)
+    np.testing.assert_allclose(a1[0], a2[0], atol=1e-4)
+    h1 = np.loadtxt(tmp_path / "p" / "psiDistribution_0.txt")
+    h2 = np.loadtxt(tmp_path / "x" / "psiDistribution_0.txt")
+    assert np.abs(h1[:, 1] - h2[:, 1]).sum() <= 6

@@ -639,18 +639,32 @@ def hex_order_calc(
     masks = jnp.asarray(np.concatenate([all_mask, pops], axis=1))
     n_bins, lo, hi = 500, 0.0, 1.0
 
-    def step(hist, frame):
-        pos, box, mask = frame
-        psi = psi6_mod.order_param_psi(
-            pos, pos, box, low_cut, high_cut, k=max_neighbors, row_block=row_block
-        )
-        mean, var = histograms.masked_mean_var(psi[None, :], mask)
-        h = jax.vmap(lambda m: histograms.masked_histogram(psi, m, n_bins, lo, hi))(mask)
-        return hist + h, (mean, var)
-
-    hist, (avg_psi, var_psi) = _scan_frames(
-        step, jnp.zeros((n_pops + 1, n_bins), jnp.float32), end_pos, boxes, masks
+    # TPU: fused psi6 kernel (Chebyshev cos/sin(6 theta), certified windows)
+    hist = None
+    use_pallas = (
+        jax.devices()[0].platform == "tpu" and ne >= 2 * row_block and max_neighbors == 24
     )
+    if use_pallas:
+        from waterorderlib_tpu.ops.pallas import psi6_kernel
+
+        psi_v, _, covered = psi6_kernel.psi6_traj(end_pos, boxes, low_cut, high_cut)
+        if bool(np.asarray(covered).all()):
+            hist, (avg_psi, var_psi) = _masked_value_pop_stats(
+                psi_v, jnp.ones(psi_v.shape, bool), masks, n_bins, lo, hi
+            )
+    if hist is None:
+        def step(hist, frame):
+            pos, box, mask = frame
+            psi = psi6_mod.order_param_psi(
+                pos, pos, box, low_cut, high_cut, k=max_neighbors, row_block=row_block
+            )
+            mean, var = histograms.masked_mean_var(psi[None, :], mask)
+            h = jax.vmap(lambda m: histograms.masked_histogram(psi, m, n_bins, lo, hi))(mask)
+            return hist + h, (mean, var)
+
+        hist, (avg_psi, var_psi) = _scan_frames(
+            step, jnp.zeros((n_pops + 1, n_bins), jnp.float32), end_pos, boxes, masks
+        )
     hist = np.asarray(hist)
     for j in range(n_pops + 1):
         _save_hist(
