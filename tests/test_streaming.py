@@ -159,3 +159,37 @@ def test_chunked_checkpoint_resume(tmp_path):
     ha = np.loadtxt(tmp_path / "a" / "qDistribution_0.txt")
     hb = np.loadtxt(tmp_path / "b" / "qDistribution_0.txt")
     np.testing.assert_array_equal(ha, hb)
+
+
+def test_rdf_calc_chunked_bitmatches(tmp_path):
+    top, traj = make_water_box(N_WAT, n_frames=N_FRAMES, seed=59, solute_elements=["C", "O"])
+    p = str(tmp_path / "t.nc")
+    netcdf.write_amber_netcdf(p, traj)
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    from waterorderlib_tpu.drivers.rdf import rdf_calc
+
+    ra = rdf_calc(top, traj, output_dir=str(tmp_path / "a"))
+    rb = rdf_calc(top, p, output_dir=str(tmp_path / "b"), chunk_frames=3)
+    for a, b in zip(ra, rb):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.loadtxt(tmp_path / "a" / "rdf.txt"), np.loadtxt(tmp_path / "b" / "rdf.txt")
+    )
+
+
+def test_hb_calc_chunked_bitmatches(tmp_path):
+    top, traj = make_water_box(N_WAT, n_frames=N_FRAMES, seed=60, solute_elements=["O", "C"])
+    p = str(tmp_path / "t.nc")
+    netcdf.write_amber_netcdf(p, traj)
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    from waterorderlib_tpu.drivers.hbonds_driver import hb_calc
+
+    wa, sa = hb_calc(top, traj, output_dir=str(tmp_path / "a"))
+    wb, sb = hb_calc(top, p, output_dir=str(tmp_path / "b"), chunk_frames=3)
+    assert wa == wb and sa == sb
+    np.testing.assert_array_equal(
+        np.loadtxt(tmp_path / "a" / "hbDistribution_water.txt"),
+        np.loadtxt(tmp_path / "b" / "hbDistribution_water.txt"),
+    )

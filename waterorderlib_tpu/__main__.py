@@ -26,6 +26,9 @@ def _add_common(p):
     p.add_argument("--stride", type=int, default=1)
     p.add_argument("--wat-res", default="WAT")
     p.add_argument("--output-dir", default=".")
+    p.add_argument("--chunk-frames", type=int, default=0,
+                   help="stream the trajectory in chunks of this many frames "
+                        "(larger-than-memory support; 0 = load whole)")
 
 
 def main(argv=None):
@@ -74,11 +77,14 @@ def main(argv=None):
         return 0
 
     common = dict(stride=args.stride, output_dir=args.output_dir, wat_res=args.wat_res)
+    chunk = {"chunk_frames": args.chunk_frames} if args.chunk_frames else {}
 
     if args.cmd == "tet":
         from waterorderlib_tpu.drivers.orderparams import tet_order_calc
 
-        avg_q, var_q = tet_order_calc(args.top, args.traj, high_cut=args.high_cut, **common)
+        avg_q, var_q = tet_order_calc(
+            args.top, args.traj, high_cut=args.high_cut, **common, **chunk
+        )
         print(json.dumps({"avgQ": avg_q[0].tolist(), "avgQ_CI": avg_q[1].tolist(),
                           "varQ": var_q[0].tolist()}))
     elif args.cmd == "3body":
@@ -86,13 +92,15 @@ def main(argv=None):
 
         p_tet, avg_cos, var_cos, entropy, n_wats = three_body_calc(
             args.top, args.traj, high_cut=args.high_cut,
-            max_neighbors=args.max_neighbors, **common,
+            max_neighbors=args.max_neighbors, **common, **chunk,
         )
         print(json.dumps({"pTet": p_tet[0].tolist(), "entropy": entropy[0].tolist()}))
     elif args.cmd == "lsi":
         from waterorderlib_tpu.drivers.orderparams import lsi_calc
 
-        avg_lsi, var_lsi = lsi_calc(args.top, args.traj, high_cut=args.high_cut, **common)
+        avg_lsi, var_lsi = lsi_calc(
+            args.top, args.traj, high_cut=args.high_cut, **common, **chunk
+        )
         print(json.dumps({"avgLSI": avg_lsi[0].tolist(), "varLSI": var_lsi[0].tolist()}))
     elif args.cmd == "psi":
         from waterorderlib_tpu.drivers.orderparams import hex_order_calc
@@ -106,14 +114,15 @@ def main(argv=None):
         from waterorderlib_tpu.drivers.rdf import rdf_calc
 
         res = rdf_calc(args.top, args.traj, binwidth=args.binwidth,
-                       totbins=args.totbins, **common)
+                       totbins=args.totbins, **common, **chunk)
         print(json.dumps({"result": [list(map(float, r)) for r in res]}))
     elif args.cmd == "hb":
         from waterorderlib_tpu.drivers.hbonds_driver import hb_calc
 
         common.pop("stride")
         avg_wat, avg_sol = hb_calc(args.top, args.traj, stride=args.stride,
-                                   dist_cut=args.dist_cut, ang_cut=args.ang_cut, **common)
+                                   dist_cut=args.dist_cut, ang_cut=args.ang_cut,
+                                   **common, **chunk)
         print(json.dumps({"avgWatHBs": avg_wat, "avgSolHBs": avg_sol}))
     elif args.cmd == "chempot":
         from waterorderlib_tpu.drivers.chempot import chem_pot_calc

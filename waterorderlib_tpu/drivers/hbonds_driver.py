@@ -41,12 +41,21 @@ def hb_calc(
     dist_cut: float = 3.5,
     ang_cut: float = 120.0,
     output_dir: str = ".",
+    chunk_frames: int | None = None,
 ):
     """Average H-bonds per water and per cosolvent molecule
     (orderParam_lib.py:729-917). Writes hbDistribution_water.txt and
     hbDistribution_cosolv.txt (histogram bins [0,1,...,10]); returns
-    (avgWatHBs, avgSolHBs)."""
-    top, traj = _resolve_system(top_file, traj_file, stride)
+    (avgWatHBs, avgSolHBs). With `chunk_frames` the trajectory streams
+    through the device in chunks (io/streaming.py)."""
+    if chunk_frames is not None:
+        from waterorderlib_tpu.io.topology import Topology
+        from waterorderlib_tpu.io.trajectory import load_topology
+
+        top = top_file if isinstance(top_file, Topology) else load_topology(top_file)
+        traj = None
+    else:
+        top, traj = _resolve_system(top_file, traj_file, stride)
     wat_inds, wat_h_inds, _ = top.get_wat_inds(wat_res)
     sol_inds, hb_o, hb_n = _sol_hb_triplets(top, wat_res)
     sol_acc_o, sol_don_o, sol_donh_o = hb_o
@@ -58,8 +67,6 @@ def hb_calc(
     n_sol = len(np.unique(top.res_ids[sol_inds])) if len(sol_inds) else 0
     has_sol = n_sol > 0 and (len(sol_acc_o) + len(sol_acc_n)) > 0
 
-    pos = jnp.asarray(traj.positions)
-    boxes = jnp.asarray(traj.boxes)
     nw = len(wat_inds)
     n_bins = 10
 
@@ -141,7 +148,24 @@ def hb_calc(
         init = (jnp.zeros(n_bins, jnp.float32), jnp.zeros(n_bins, jnp.float32))
         return jax.lax.scan(step, init, (pos, boxes))
 
-    (h_wat, h_sol), (wat_means, sol_means) = run(pos, boxes)
+    if chunk_frames is not None:
+        from waterorderlib_tpu.io.streaming import iter_chunks
+
+        h_wat = np.zeros(n_bins, np.float32)
+        h_sol = np.zeros(n_bins, np.float32)
+        wm_parts, sm_parts = [], []
+        for pos_c, boxes_c in iter_chunks(traj_file, chunk_frames, stride):
+            (hw, hs), (wm, sm) = run(jnp.asarray(pos_c), jnp.asarray(boxes_c))
+            h_wat += np.asarray(hw)
+            h_sol += np.asarray(hs)
+            wm_parts.append(np.asarray(wm))
+            sm_parts.append(np.asarray(sm))
+        wat_means = np.concatenate(wm_parts)
+        sol_means = np.concatenate(sm_parts)
+    else:
+        (h_wat, h_sol), (wat_means, sol_means) = run(
+            jnp.asarray(traj.positions), jnp.asarray(traj.boxes)
+        )
     centers = np.arange(n_bins) + 0.5
     np.savetxt(
         os.path.join(output_dir, "hbDistribution_water.txt"),

@@ -47,20 +47,15 @@ def rdf_calc(
     stride: int = 1,
     n_chunks: int = 5,
     output_dir: str = ".",
+    chunk_frames: int | None = None,
 ):
     """Returns ([n1_OwOw, se], [n1_SolOw, se], [tParam, se]) with a solute,
     or ([n1_OwOw, se], [tParam, se]) for pure water (the reference returns a
-    degenerate `n1_OwOw, t` there; we return the meaningful pair)."""
-    top, traj = _resolve_system(top_file, traj_file, stride)
-    wat_inds, _, _ = top.get_wat_inds(wat_res)
-    sol_inds, *_ = top.get_sol_inds(wat_res)
-    has_sol = len(sol_inds) > 0
+    degenerate `n1_OwOw, t` there; we return the meaningful pair).
 
-    F = traj.n_frames
-    chunk = F // n_chunks
-    wat_pos = jnp.asarray(traj.positions[:, wat_inds, :])
-    boxes = jnp.asarray(traj.boxes)
-    sol_pos = jnp.asarray(traj.positions[:, sol_inds, :]) if has_sol else None
+    With `chunk_frames` the trajectory streams through the device in chunks
+    (io/streaming.py; per-frame g(r) curves are tiny, so only the chunk's
+    coordinates are ever device- or host-resident)."""
 
     @jax.jit
     def frame_rdfs(wat_pos, sol_pos, boxes):
@@ -81,12 +76,38 @@ def rdf_calc(
 
         return jax.lax.scan(one, None, (wat_pos, boxes))[1]
 
-    if has_sol:
-        g_ww, g_ss, g_sw = (np.asarray(x) for x in frame_rdfs(wat_pos, sol_pos, boxes))
+    def batch_curves(pos_b, boxes_b, wat_inds, sol_inds):
+        wat_pos = jnp.asarray(pos_b[:, wat_inds, :])
+        boxes_d = jnp.asarray(boxes_b)
+        if len(sol_inds):
+            sol_pos = jnp.asarray(pos_b[:, sol_inds, :])
+            return tuple(np.asarray(x) for x in frame_rdfs(wat_pos, sol_pos, boxes_d))
+        g = np.asarray(frame_rdfs_watonly(wat_pos, boxes_d))
+        return g, np.zeros_like(g), np.zeros_like(g)
+
+    if chunk_frames is not None:
+        from waterorderlib_tpu.io.streaming import iter_chunks
+        from waterorderlib_tpu.io.topology import Topology
+        from waterorderlib_tpu.io.trajectory import load_topology
+
+        top = top_file if isinstance(top_file, Topology) else load_topology(top_file)
+        wat_inds, _, _ = top.get_wat_inds(wat_res)
+        sol_inds, *_ = top.get_sol_inds(wat_res)
+        has_sol = len(sol_inds) > 0
+        parts = [
+            batch_curves(pos_c, boxes_c, wat_inds, sol_inds)
+            for pos_c, boxes_c in iter_chunks(traj_file, chunk_frames, stride)
+        ]
+        g_ww, g_ss, g_sw = (np.concatenate([p[i] for p in parts]) for i in range(3))
+        F = g_ww.shape[0]
     else:
-        g_ww = np.asarray(frame_rdfs_watonly(wat_pos, boxes))
-        g_ss = np.zeros_like(g_ww)
-        g_sw = np.zeros_like(g_ww)
+        top, traj = _resolve_system(top_file, traj_file, stride)
+        wat_inds, _, _ = top.get_wat_inds(wat_res)
+        sol_inds, *_ = top.get_sol_inds(wat_res)
+        has_sol = len(sol_inds) > 0
+        F = traj.n_frames
+        g_ww, g_ss, g_sw = batch_curves(traj.positions, traj.boxes, wat_inds, sol_inds)
+    chunk = F // n_chunks
 
     dist = np.linspace(0, (totbins - 1) * binwidth, totbins) + binwidth
 
