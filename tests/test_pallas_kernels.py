@@ -241,7 +241,9 @@ def test_lsi_kernel_matches_xla():
         np.stack([np.mod(base + rs.normal(scale=0.1, size=base.shape), box_len)
                   for _ in range(f)]), jnp.float32)
     boxes = jnp.asarray(np.tile(np.array([box_len] * 3, np.float32), (f, 1)))
-    v, ok, cnt, covered = lsi_kernel.lsi_traj(pos, boxes, 0.0, 3.7, window=1024, pad=256)
+    # pad must span the drift-inflated margin (7.4 A + drift) in z — the
+    # round-2 pad certificate rejects shallower boundary slabs
+    v, ok, cnt, covered = lsi_kernel.lsi_traj(pos, boxes, 0.0, 3.7, window=1024, pad=512)
     assert bool(np.all(np.asarray(covered)))
     for t in range(f):
         ref = lsi_mod.lsi(pos[t], pos[t], boxes[t], 0.0, 3.7, k=24, row_block=512)
@@ -359,3 +361,26 @@ def test_hex_order_calc_pallas_path(tmp_path):
     h1 = np.loadtxt(tmp_path / "p" / "psiDistribution_0.txt")
     h2 = np.loadtxt(tmp_path / "x" / "psiDistribution_0.txt")
     assert np.abs(h1[:, 1] - h2[:, 1]).sum() <= 6
+
+
+@needs_tpu
+def test_qtet2_certified_16k_with_straggler_patch():
+    """16k-atom frames: the slab kernel covers, a few atoms per million may
+    fail the per-atom margin certificate, and the certified wrapper patches
+    exactly those on the XLA path — full-trajectory exactness."""
+    from waterorderlib_tpu.ops.pallas import qtet2
+    from waterorderlib_tpu.order import qtet
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n, f = 16384, 2
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    rs = np.random.RandomState(3)
+    base = water_oxygen_lattice(n, box_len, seed=3)
+    pos = jnp.asarray(
+        np.stack([np.mod(base + rs.normal(scale=0.1, size=base.shape), box_len)
+                  for _ in range(f)]), jnp.float32)
+    boxes = jnp.asarray(np.tile(np.array([box_len] * 3, np.float32), (f, 1)))
+    q = np.asarray(qtet2.order_param_q_certified(pos, boxes, 0.0, 10.0))
+    for t in range(f):
+        want = np.asarray(qtet.order_param_q(pos[t], pos[t], boxes[t], 0.0, 10.0, row_block=512))
+        np.testing.assert_allclose(q[t], want, atol=2e-5)

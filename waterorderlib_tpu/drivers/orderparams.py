@@ -136,12 +136,15 @@ def _tet_core(wat_pos, boxes, masks, low_cut, high_cut, row_block, n_bins, lo, h
     # construction — q per center is subset-independent).
     use_pallas = jax.devices()[0].platform == "tpu" and nw >= 2 * row_block
     if use_pallas:
-        from waterorderlib_tpu.ops.pallas.qtet2 import order_param_q_certified
+        try:
+            from waterorderlib_tpu.ops.pallas.qtet2 import order_param_q_certified
 
-        # certificate check happens on host, so q is computed outside the
-        # stats jit (one kernel launch for the whole trajectory either way)
-        q_all = order_param_q_certified(wat_pos, boxes, low_cut, high_cut)
-        return _q_pop_stats(q_all, masks, n_bins, lo, hi)
+            # certificate check happens on host, so q is computed outside the
+            # stats jit (one kernel launch for the whole trajectory either way)
+            q_all = order_param_q_certified(wat_pos, boxes, low_cut, high_cut)
+            return _q_pop_stats(q_all, masks, n_bins, lo, hi)
+        except Exception:
+            pass  # e.g. VMEM limits at extreme sizes: fall through to XLA
 
     def step(hist, frame):
         pos, box, mask = frame
@@ -249,11 +252,19 @@ def _three_body_core(
         and high_cut <= 4.5
     )
     if use_pallas:
-        from waterorderlib_tpu.ops.pallas import angles_kernel
+        try:
+            from waterorderlib_tpu.ops.pallas import angles_kernel
+            from waterorderlib_tpu.ops.pallas.slab import suggest_pad
+            from waterorderlib_tpu.ops.pallas.qtet2 import suggest_window
 
-        ang, cnt, covered = angles_kernel.neighbor_pair_angles_traj(
-            wat_pos, boxes, low_cut, high_cut
-        )
+            bz = float(boxes[0, 2])
+            ang, cnt, covered = angles_kernel.neighbor_pair_angles_traj(
+                wat_pos, boxes, low_cut, high_cut,
+                window=suggest_window(nw, bz, margin=4.5, row_tile=256),
+                pad=suggest_pad(nw, bz, 4.5 + 2.0),
+            )
+        except Exception:
+            covered = np.zeros(1, bool)  # VMEM etc: fall through to XLA
         if bool(np.asarray(covered).all()):
 
             @jax.jit
@@ -510,9 +521,20 @@ def _lsi_core(wat_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block
     # nearest few candidates beyond the cutoff)
     use_pallas = jax.devices()[0].platform == "tpu" and nw >= 2 * row_block
     if use_pallas:
-        from waterorderlib_tpu.ops.pallas import lsi_kernel
+        try:
+            from waterorderlib_tpu.ops.pallas import lsi_kernel
+            from waterorderlib_tpu.ops.pallas.slab import suggest_pad
+            from waterorderlib_tpu.ops.pallas.qtet2 import suggest_window
 
-        lsi_v, lsi_ok, _, covered = lsi_kernel.lsi_traj(wat_pos, boxes, low_cut, high_cut)
+            bz = float(boxes[0, 2])
+            mg = high_cut + 3.7
+            lsi_v, lsi_ok, _, covered = lsi_kernel.lsi_traj(
+                wat_pos, boxes, low_cut, high_cut,
+                window=suggest_window(nw, bz, margin=mg, row_tile=128),
+                pad=suggest_pad(nw, bz, mg + 2.0),
+            )
+        except Exception:
+            covered = np.zeros(1, bool)  # VMEM etc: fall through to XLA
         if bool(np.asarray(covered).all()):
             return _masked_value_pop_stats(lsi_v, lsi_ok, masks, n_bins, lo, hi)
 
@@ -645,9 +667,19 @@ def hex_order_calc(
         jax.devices()[0].platform == "tpu" and ne >= 2 * row_block and max_neighbors == 24
     )
     if use_pallas:
-        from waterorderlib_tpu.ops.pallas import psi6_kernel
+        try:
+            from waterorderlib_tpu.ops.pallas import psi6_kernel
+            from waterorderlib_tpu.ops.pallas.slab import suggest_pad
+            from waterorderlib_tpu.ops.pallas.qtet2 import suggest_window
 
-        psi_v, _, covered = psi6_kernel.psi6_traj(end_pos, boxes, low_cut, high_cut)
+            bz = float(boxes[0, 2])
+            psi_v, _, covered = psi6_kernel.psi6_traj(
+                end_pos, boxes, low_cut, high_cut,
+                window=suggest_window(ne, bz, margin=high_cut, row_tile=128),
+                pad=suggest_pad(ne, bz, high_cut + 2.0),
+            )
+        except Exception:
+            covered = np.zeros(1, bool)  # VMEM etc: fall through to XLA
         if bool(np.asarray(covered).all()):
             hist, (avg_psi, var_psi) = _masked_value_pop_stats(
                 psi_v, jnp.ones(psi_v.shape, bool), masks, n_bins, lo, hi

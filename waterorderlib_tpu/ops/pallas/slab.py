@@ -77,11 +77,24 @@ def slab_prep_traj(
     # (the window only grows leftward) and store pre-divided by 128
     starts = (starts // 128) * 128
     starts = jnp.clip(starts, 0, n_ext - w)
-    covered = jnp.broadcast_to(jnp.all(ends - starts <= w), (F,))
+    # the pad slabs must be at least margin_eff deep in z, or cross-boundary
+    # candidates silently fall outside ext and the windows look covered while
+    # missing neighbors (a real failure at large N with fixed pad: pad atoms
+    # span only pad/N * L_z of z)
+    pad_ok = (ext_z0[0] <= z_lo[0]) & (ext_z0[-1] >= z_hi[-1])
+    covered = jnp.broadcast_to(jnp.all(ends - starts <= w) & pad_ok, (F,))
     starts_f = (starts // 128).astype(jnp.int32)
 
     ext_t = jnp.transpose(ext, (0, 2, 1)).astype(jnp.float32)
     return SlabPrep(ext_t, starts_f, covered, order0, w, n_tiles)
+
+
+def suggest_pad(n: int, box_z: float, depth: float, safety: float = 1.6) -> int:
+    """Boundary-copy count (multiple of 128, capped at n) whose z extent is
+    expected to exceed `depth` (the drift-inflated margin). The `covered`
+    certificate still verifies sufficiency at run time."""
+    est = n * depth / box_z * safety + 128
+    return int(min(n, -(-est // 128) * 128))
 
 
 def unsort_frames(arr_sorted: jnp.ndarray, order0: jnp.ndarray) -> jnp.ndarray:

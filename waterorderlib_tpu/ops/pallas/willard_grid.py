@@ -149,7 +149,10 @@ def willard_density_grid(
     ends = jnp.searchsorted(ext_z, gz_w + cut, side="right")
     starts = (starts // 128) * 128
     starts = jnp.clip(starts, 0, n_ext - w)
-    covered = jnp.all(ends - starts <= w)
+    # pad slabs must span >= cut in z, or cross-boundary Gaussians fall
+    # outside ext while the window check still passes
+    pad_ok = (ext_z[0] <= jnp.min(gz_w) - cut) & (ext_z[-1] >= jnp.max(gz_w) + cut)
+    covered = jnp.all(ends - starts <= w) & pad_ok
     starts = (starts // 128).astype(jnp.int32)
 
     ext_t = jnp.transpose(ext).astype(jnp.float32)
