@@ -59,6 +59,20 @@ def check_padded(df, da, n_frames, n_wat):
     print(f"padded mesh {df}x{da} F={n_frames} N={n_wat}: ok")
 
 
+def check_three_body_hist(df, da):
+    from waterorderlib_tpu.order import angles as angles_mod
+
+    pos, boxes = _data(n_frames=8, n_wat=96)
+    m = pmesh.make_mesh(df, da)
+    got = pmesh.sharded_three_body_hist(pos, boxes, m, row_block=96)
+    want = np.zeros(500, np.float32)
+    for f in range(8):
+        aset = angles_mod.neighbor_angles(pos[f], pos[f], boxes[f], 0.0, 3.413, k=16)
+        want += np.asarray(angles_mod.angle_histogram(aset))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2)
+    print(f"three-body histogram mesh {df}x{da}: ok")
+
+
 def check_distance_histogram(df, da):
     pos, boxes = _data(n_frames=8)
     m = pmesh.make_mesh(df, da)
@@ -81,6 +95,7 @@ def main():
     check_padded(2, 4, n_frames=3, n_wat=97)
     check_distance_histogram(4, 2)
     check_distance_histogram(8, 1)
+    check_three_body_hist(4, 2)
     print("sharded checks: all ok")
 
 

@@ -152,6 +152,46 @@ def sharded_q_analysis_padded(
     return q[:f, :n], mean_q[:f], hist
 
 
+@partial(jax.jit, static_argnames=("mesh", "n_bins", "k", "row_block"))
+def sharded_three_body_hist(
+    pos: jnp.ndarray,
+    boxes: jnp.ndarray,
+    mesh: Mesh,
+    low_cut: float = 0.0,
+    high_cut: float = 3.413,
+    k: int = 16,
+    n_bins: int = 500,
+    row_block: int = 256,
+):
+    """Trajectory-level 3-body angle histogram, frames sharded over the full
+    mesh (both axes as data parallelism), psum-reduced counts.
+
+    pos: (F, N, 3) with F divisible by the device count; boxes (F, 3).
+    Returns (n_bins,) counts over [0, 180] degrees — the 3bDistribution
+    accumulation of threeBodyCalc (orderParam_lib.py:1269-1424), scaled out.
+    """
+    from waterorderlib_tpu.order import angles as angles_mod
+
+    def local(p, box):
+        def one_frame(args):
+            pf, bf = args
+            aset = angles_mod.neighbor_angles(
+                pf, pf, bf, low_cut, high_cut, k=k, row_block=row_block
+            )
+            return angles_mod.angle_histogram(aset, n_bins=n_bins)
+
+        h = jnp.sum(jax.lax.map(one_frame, (p, box)), axis=0)
+        return jax.lax.psum(h, ("frames", "atoms"))
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(("frames", "atoms"), None, None), P(("frames", "atoms"), None)),
+        out_specs=P(),
+        check_vma=False,
+    )(pos, boxes)
+
+
 @partial(jax.jit, static_argnames=("mesh", "nbins", "same"))
 def sharded_distance_histogram(
     pos1: jnp.ndarray,
