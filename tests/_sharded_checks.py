@@ -86,6 +86,29 @@ def check_distance_histogram(df, da):
     print(f"distance histogram mesh {df}x{da}: ok")
 
 
+def check_driver_mesh_option(df, da, tmp="/tmp/_sharded_driver_check"):
+    """tet_order_calc(mesh=...) shards the q computation across the device
+    mesh and matches the single-device driver exactly."""
+    import os
+    import shutil
+    from waterorderlib_tpu.io.synthetic import make_water_box
+    from waterorderlib_tpu.drivers.orderparams import tet_order_calc
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp + "/a")
+    os.makedirs(tmp + "/b")
+    top, traj = make_water_box(100, n_frames=6, seed=61)  # non-divisible F/N
+    m = pmesh.make_mesh(df, da)
+    a_avg, a_var = tet_order_calc(top, traj, output_dir=tmp + "/a", row_block=32)
+    b_avg, b_var = tet_order_calc(top, traj, output_dir=tmp + "/b", row_block=32, mesh=m)
+    np.testing.assert_allclose(a_avg[0], b_avg[0], atol=2e-6)
+    ha = np.loadtxt(tmp + "/a/qDistribution_0.txt")
+    hb = np.loadtxt(tmp + "/b/qDistribution_0.txt")
+    assert np.abs(ha[:, 1] - hb[:, 1]).sum() <= 2
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(f"driver mesh option {df}x{da}: ok")
+
+
 def main():
     assert len(jax.devices()) >= 8, f"need 8 devices, have {len(jax.devices())}"
     check_mesh_shape(4, 2, n_frames=4, n_wat=128)
@@ -96,6 +119,7 @@ def main():
     check_distance_histogram(4, 2)
     check_distance_histogram(8, 1)
     check_three_body_hist(4, 2)
+    check_driver_mesh_option(4, 2)
     print("sharded checks: all ok")
 
 

@@ -193,3 +193,22 @@ def test_hb_calc_chunked_bitmatches(tmp_path):
         np.loadtxt(tmp_path / "a" / "hbDistribution_water.txt"),
         np.loadtxt(tmp_path / "b" / "hbDistribution_water.txt"),
     )
+
+
+def test_chem_pot_chunked_bitmatches(tmp_path):
+    top, traj = make_water_box(40, n_frames=6, seed=62)
+    p = str(tmp_path / "t.nc")
+    netcdf.write_amber_netcdf(p, traj)
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    from waterorderlib_tpu.drivers.chempot import chem_pot_calc
+
+    ra = chem_pot_calc(top, traj, n_insertions=2048, probe_radius=2.0,
+                       output_dir=str(tmp_path / "a"), seed=5)
+    rb = chem_pot_calc(top, p, n_insertions=2048, probe_radius=2.0,
+                       output_dir=str(tmp_path / "b"), seed=5, chunk_frames=2)
+    assert ra == rb
+    np.testing.assert_array_equal(
+        np.loadtxt(tmp_path / "a" / "HS-solute_overlap_hist.txt"),
+        np.loadtxt(tmp_path / "b" / "HS-solute_overlap_hist.txt"),
+    )

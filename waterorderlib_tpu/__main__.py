@@ -129,7 +129,7 @@ def main(argv=None):
 
         mu, avg_n, avg_n2 = chem_pot_calc(
             args.top, args.traj, probe_radius=args.probe_radius,
-            n_insertions=args.insertions, **common,
+            n_insertions=args.insertions, **common, **chunk,
         )
         print(json.dumps({"muHS": mu, "avgN": avg_n, "avgN2": avg_n2}))
     elif args.cmd == "voronoi":

@@ -48,20 +48,27 @@ def chem_pot_calc(
     max_overlap: int = 100,
     seed: int = 0,
     output_dir: str = ".",
+    chunk_frames: int | None = None,
 ):
-    """Returns (muHS, avgN, avgN2); writes HS-solute_overlap_hist[_Shell].txt."""
-    top, traj = _resolve_system(top_file, traj_file, stride)
+    """Returns (muHS, avgN, avgN2); writes HS-solute_overlap_hist[_Shell].txt.
+    With `chunk_frames` the trajectory streams in chunks (io/streaming.py);
+    per-frame PRNG keys are indexed by global frame, so chunked results
+    bit-match the single-shot run."""
+    if chunk_frames is not None:
+        from waterorderlib_tpu.io.topology import Topology
+        from waterorderlib_tpu.io.trajectory import load_topology
+
+        top = top_file if isinstance(top_file, Topology) else load_topology(top_file)
+        traj = None
+    else:
+        top, traj = _resolve_system(top_file, traj_file, stride)
     heavy_inds = top.get_heavy_inds()
     sol_inds, *_ = top.get_sol_inds(wat_res)
     if keyword and len(sol_inds) == 0:
         raise ValueError("shell-mode insertion requires a solute")
     n_ins = n_insertions if n_insertions is not None else (100000 if keyword else 10000)
 
-    heavy_pos = jnp.asarray(traj.positions[:, heavy_inds, :])
-    boxes = jnp.asarray(traj.boxes)
-    sol_pos = jnp.asarray(traj.positions[:, sol_inds, :]) if len(sol_inds) else None
     key = jax.random.PRNGKey(seed)
-    frame_keys = jax.random.split(key, traj.n_frames)
 
     ins_block = 2048  # insertions processed per device step
 
@@ -119,10 +126,35 @@ def chem_pot_calc(
         )
         return jax.lax.scan(one_frame, jnp.zeros(max_overlap, jnp.float32), xs)[0]
 
-    counts = np.asarray(
-        run(heavy_pos, boxes, frame_keys, sol_pos) if keyword
-        else run(heavy_pos, boxes, frame_keys)
-    ).astype(np.float64)
+    if chunk_frames is not None:
+        from waterorderlib_tpu.io.streaming import iter_chunks
+
+        counts = np.zeros(max_overlap, np.float64)
+        frame0 = 0
+        for pos_c, boxes_c in iter_chunks(traj_file, chunk_frames, stride):
+            fc = pos_c.shape[0]
+            # keys indexed by GLOBAL frame position for chunked bit-parity
+            keys_c = jax.vmap(
+                lambda i: jax.random.fold_in(key, i)
+            )(jnp.arange(frame0, frame0 + fc))
+            hp = jnp.asarray(pos_c[:, heavy_inds, :])
+            bx = jnp.asarray(boxes_c)
+            sp = jnp.asarray(pos_c[:, sol_inds, :]) if keyword else None
+            counts += np.asarray(
+                run(hp, bx, keys_c, sp) if keyword else run(hp, bx, keys_c)
+            ).astype(np.float64)
+            frame0 += fc
+    else:
+        heavy_pos = jnp.asarray(traj.positions[:, heavy_inds, :])
+        boxes = jnp.asarray(traj.boxes)
+        sol_pos = jnp.asarray(traj.positions[:, sol_inds, :]) if len(sol_inds) else None
+        frame_keys = jax.vmap(
+            lambda i: jax.random.fold_in(key, i)
+        )(jnp.arange(traj.n_frames))
+        counts = np.asarray(
+            run(heavy_pos, boxes, frame_keys, sol_pos) if keyword
+            else run(heavy_pos, boxes, frame_keys)
+        ).astype(np.float64)
 
     num = np.arange(max_overlap, dtype=np.float64)
     total = counts.sum()

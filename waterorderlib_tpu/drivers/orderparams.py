@@ -127,10 +127,20 @@ def _q_pop_stats(q_all, masks, n_bins, lo, hi):
     return jnp.sum(hists, axis=0), (means, vars_)
 
 
-def _tet_core(wat_pos, boxes, masks, low_cut, high_cut, row_block, n_bins, lo, hi):
+def _tet_core(wat_pos, boxes, masks, low_cut, high_cut, row_block, n_bins, lo, hi,
+              mesh=None):
     """q + population statistics for one frame batch: returns
     (hist (P+1, n_bins), (means (F, P+1), vars (F, P+1)))."""
     nw = wat_pos.shape[1]
+    if mesh is not None:
+        # device-mesh scale-out (SURVEY §2c): frames data-parallel, atoms
+        # tensor-parallel; arbitrary F/N via the NaN-padding wrapper
+        from waterorderlib_tpu.parallel import mesh as pmesh
+
+        q_all, _, _ = pmesh.sharded_q_analysis_padded(
+            wat_pos, boxes, mesh, low_cut, high_cut, n_bins=n_bins
+        )
+        return _q_pop_stats(q_all, masks, n_bins, lo, hi)
     # On TPU the fused Pallas kernel computes q for all waters per frame;
     # populations are masked reductions over the same values (identical by
     # construction — q per center is subset-independent).
@@ -173,6 +183,7 @@ def tet_order_calc(
     seed: int | None = 0,
     chunk_frames: int | None = None,
     checkpoint: str | None = None,
+    mesh=None,
 ):
     """Tetrahedral order parameter driver (orderParam_lib.py:1426-1503).
 
@@ -183,13 +194,16 @@ def tet_order_calc(
     chunks of that many frames (double-buffered host prefetch,
     io/streaming.py) — larger-than-memory trajectories bit-match the
     single-shot results because every per-frame quantity is frame-local.
+    With `mesh` (a jax.sharding Mesh from parallel.mesh.make_mesh) the q
+    computation shards over the ('frames', 'atoms') device mesh; the two
+    options compose (each streamed chunk is mesh-sharded).
     """
     n_bins, lo, hi = 500, 0.0, 1.0
     if chunk_frames is not None:
         hist, (avg_q, var_q) = _run_chunked(
             top_file, traj_file, sub_inds, n_pops, wat_res, stride, chunk_frames,
             lambda wp, b, m: _tet_core(
-                wp, b, m, low_cut, high_cut, row_block, n_bins, lo, hi
+                wp, b, m, low_cut, high_cut, row_block, n_bins, lo, hi, mesh=mesh
             ),
             n_carry=1, n_stats=2, checkpoint=checkpoint,
         )
@@ -212,7 +226,8 @@ def tet_order_calc(
     masks = jnp.asarray(np.concatenate([all_mask, pops], axis=1))  # (F, P+1, Nw)
 
     hist, (avg_q, var_q) = _tet_core(
-        wat_pos, boxes, masks, low_cut, high_cut, row_block, n_bins, lo, hi
+        wat_pos, boxes, masks, low_cut, high_cut, row_block, n_bins, lo, hi,
+        mesh=mesh,
     )
     hist = np.asarray(hist)
     for j in range(n_pops + 1):
