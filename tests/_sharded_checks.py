@@ -86,6 +86,80 @@ def check_distance_histogram(df, da):
     print(f"distance histogram mesh {df}x{da}: ok")
 
 
+def check_lsi_psi6_analysis(df, da):
+    """sharded LSI / psi6 population analyses match the unsharded driver
+    cores (moments-psum formulation vs two-pass masked_mean_var)."""
+    from waterorderlib_tpu.drivers import orderparams as op
+
+    n_frames, n_wat = 5, 100  # non-divisible F and N
+    pos, boxes = _data(n_frames=n_frames, n_wat=n_wat, seed=7)
+    rs = np.random.RandomState(3)
+    pops = rs.rand(n_frames, 1, n_wat) < 0.4
+    masks = jnp.asarray(
+        np.concatenate([np.ones((n_frames, 1, n_wat), bool), pops], axis=1)
+    )
+    m = pmesh.make_mesh(df, da)
+
+    h_ref, (mean_ref, var_ref) = op._lsi_core(
+        pos, boxes, masks, 0.0, 3.7, 16, 64, 500, 0.0, 0.3
+    )
+    h_got, (mean_got, var_got) = pmesh.sharded_lsi_analysis(
+        pos, boxes, masks, m, 0.0, 3.7, k=16, row_block=64
+    )
+    np.testing.assert_allclose(np.asarray(h_got), np.asarray(h_ref), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(mean_got), np.asarray(mean_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var_got), np.asarray(var_ref), atol=1e-5)
+
+    # psi6: reference = the driver's unsharded step over each frame
+    from waterorderlib_tpu.order import psi6 as psi6_mod
+    from waterorderlib_tpu.ops import histograms as hist_mod
+
+    h_got, (mean_got, var_got) = pmesh.sharded_psi6_analysis(
+        pos, boxes, masks, m, 0.0, 7.0, k=24, row_block=64
+    )
+    h_ref = np.zeros((2, 500), np.float32)
+    for f in range(n_frames):
+        psi = psi6_mod.order_param_psi(pos[f], pos[f], boxes[f], 0.0, 7.0, k=24, row_block=64)
+        for p in range(2):
+            mk = masks[f, p]
+            h_ref[p] += np.asarray(hist_mod.masked_histogram(psi, mk, 500, 0.0, 1.0))
+            mean, var = hist_mod.masked_mean_var(psi[None, :], mk[None, :])
+            np.testing.assert_allclose(float(mean_got[f, p]), float(mean[0]), atol=1e-5)
+            np.testing.assert_allclose(float(var_got[f, p]), float(var[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_got), h_ref, atol=1e-3)
+    print(f"lsi/psi6 analysis mesh {df}x{da}: ok")
+
+
+def check_three_body_analysis(df, da):
+    """sharded full 3-body analysis matches the unsharded core: global +
+    2-D histograms, per-frame per-pop frac/avg/var/entropy/n_wats."""
+    from waterorderlib_tpu.drivers import orderparams as op
+
+    n_frames, n_wat = 5, 100
+    pos, boxes = _data(n_frames=n_frames, n_wat=n_wat, seed=9)
+    rs = np.random.RandomState(5)
+    pops = rs.rand(n_frames, 1, n_wat) < 0.5
+    masks = jnp.asarray(
+        np.concatenate([np.ones((n_frames, 1, n_wat), bool), pops], axis=1)
+    )
+    m = pmesh.make_mesh(df, da)
+
+    (h_ref, h2_ref), stats_ref = op._three_body_core(
+        pos, boxes, masks, 0.0, 3.413, 16, 64, 500, 0.0, 180.0, 14
+    )
+    (h_got, h2_got), stats_got = pmesh.sharded_three_body_analysis(
+        pos, boxes, masks, m, 0.0, 3.413, k=16, row_block=64
+    )
+    np.testing.assert_allclose(np.asarray(h_got), np.asarray(h_ref), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(h2_got), np.asarray(h2_ref), atol=1e-3)
+    names = ["frac", "avg", "var", "ent", "n_wats"]
+    for name, got, ref in zip(names, stats_got, stats_ref):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, err_msg=name
+        )
+    print(f"three-body analysis mesh {df}x{da}: ok")
+
+
 def check_driver_mesh_option(df, da, tmp="/tmp/_sharded_driver_check"):
     """tet_order_calc(mesh=...) shards the q computation across the device
     mesh and matches the single-device driver exactly."""
@@ -119,6 +193,9 @@ def main():
     check_distance_histogram(4, 2)
     check_distance_histogram(8, 1)
     check_three_body_hist(4, 2)
+    check_lsi_psi6_analysis(4, 2)
+    check_three_body_analysis(4, 2)
+    check_three_body_analysis(2, 4)
     check_driver_mesh_option(4, 2)
     print("sharded checks: all ok")
 

@@ -1,7 +1,13 @@
-"""Streaming trajectory pipeline: lazy readers + chunked drivers bit-match
-the single-shot path."""
+"""Streaming trajectory pipeline: lazy readers + chunked drivers match the
+single-shot path (histogram counts exactly; float statistics to 1-2 ulp —
+XLA tiles reductions differently per compile shape on TPU, so bitwise
+equality across different batch sizes is not guaranteed there)."""
 
 import numpy as np
+
+
+def _ulp_close(a, b):
+    np.testing.assert_allclose(a, b, rtol=3e-7, atol=1e-8)
 
 from waterorderlib_tpu.io.synthetic import make_water_box
 from waterorderlib_tpu.io import netcdf, dcd
@@ -59,8 +65,8 @@ def test_tet_order_calc_chunked_bitmatches_single_shot(tmp_path):
     b_avg, b_var = orderparams.tet_order_calc(
         top, p, output_dir=str(tmp_path / "b"), row_block=16, chunk_frames=3
     )
-    np.testing.assert_array_equal(a_avg[0], b_avg[0])
-    np.testing.assert_array_equal(a_var[0], b_var[0])
+    _ulp_close(a_avg[0], b_avg[0])
+    _ulp_close(a_var[0], b_var[0])
     ha = np.loadtxt(tmp_path / "a" / "qDistribution_0.txt")
     hb = np.loadtxt(tmp_path / "b" / "qDistribution_0.txt")
     np.testing.assert_array_equal(ha, hb)
@@ -79,7 +85,7 @@ def test_tet_order_calc_chunked_with_populations(tmp_path):
         top, traj, sub_inds=sub, n_pops=1, output_dir=str(tmp_path / "b"),
         row_block=16, chunk_frames=4,
     )
-    np.testing.assert_array_equal(a_avg[0], b_avg[0])
+    _ulp_close(a_avg[0], b_avg[0])
 
 
 def test_three_body_calc_chunked_bitmatches(tmp_path):
@@ -91,7 +97,7 @@ def test_three_body_calc_chunked_bitmatches(tmp_path):
         top, traj, output_dir=str(tmp_path / "b"), row_block=16, chunk_frames=3
     )
     for a, b in zip(ra, rb):
-        np.testing.assert_array_equal(a[0], b[0])
+        _ulp_close(a[0], b[0])
     ha = np.loadtxt(tmp_path / "a" / "3bDistribution_0.txt")
     hb = np.loadtxt(tmp_path / "b" / "3bDistribution_0.txt")
     np.testing.assert_array_equal(ha, hb)
@@ -105,7 +111,7 @@ def test_lsi_calc_chunked_bitmatches(tmp_path):
     ab, vb = orderparams.lsi_calc(
         top, traj, output_dir=str(tmp_path / "b"), row_block=16, chunk_frames=4
     )
-    np.testing.assert_array_equal(aa[0], ab[0])
+    _ulp_close(aa[0], ab[0])
     ha = np.loadtxt(tmp_path / "a" / "lsiDistribution_0.txt")
     hb = np.loadtxt(tmp_path / "b" / "lsiDistribution_0.txt")
     np.testing.assert_array_equal(ha, hb)
@@ -153,8 +159,8 @@ def test_chunked_checkpoint_resume(tmp_path):
         top, p, output_dir=str(tmp_path / "b"), row_block=16,
         chunk_frames=3, checkpoint=ck,
     )
-    np.testing.assert_array_equal(want_avg[0], got_avg[0])
-    np.testing.assert_array_equal(want_var[0], got_var[0])
+    _ulp_close(want_avg[0], got_avg[0])
+    _ulp_close(want_var[0], got_var[0])
     assert not os.path.exists(ck)  # removed on success
     ha = np.loadtxt(tmp_path / "a" / "qDistribution_0.txt")
     hb = np.loadtxt(tmp_path / "b" / "qDistribution_0.txt")
@@ -188,7 +194,8 @@ def test_hb_calc_chunked_bitmatches(tmp_path):
 
     wa, sa = hb_calc(top, traj, output_dir=str(tmp_path / "a"))
     wb, sb = hb_calc(top, p, output_dir=str(tmp_path / "b"), chunk_frames=3)
-    assert wa == wb and sa == sb
+    _ulp_close(np.asarray(wa), np.asarray(wb))
+    _ulp_close(np.asarray(sa), np.asarray(sb))
     np.testing.assert_array_equal(
         np.loadtxt(tmp_path / "a" / "hbDistribution_water.txt"),
         np.loadtxt(tmp_path / "b" / "hbDistribution_water.txt"),

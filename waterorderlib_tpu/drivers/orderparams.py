@@ -192,8 +192,10 @@ def tet_order_calc(
 
     With `chunk_frames` set, the trajectory streams through the device in
     chunks of that many frames (double-buffered host prefetch,
-    io/streaming.py) — larger-than-memory trajectories bit-match the
-    single-shot results because every per-frame quantity is frame-local.
+    io/streaming.py) — larger-than-memory trajectories match the
+    single-shot results (histogram counts exactly, float statistics to
+    ~1 ulp: every per-frame quantity is frame-local, but XLA may tile
+    reductions differently per compile shape).
     With `mesh` (a jax.sharding Mesh from parallel.mesh.make_mesh) the q
     computation shards over the ('frames', 'atoms') device mesh; the two
     options compose (each streamed chunk is mesh-sharded).
@@ -244,12 +246,21 @@ def tet_order_calc(
 
 def _three_body_core(
     wat_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block,
-    n_bins, lo, hi, n2x,
+    n_bins, lo, hi, n2x, mesh=None,
 ):
     """3-body angles + metrics for one frame batch: returns
     ((hist (P+1, n_bins), hist2d (n2x*n_bins,)),
      (frac, avg, var, ent, n_wats) each (F, P+1))."""
     nw = wat_pos.shape[1]
+    if mesh is not None:
+        # device-mesh scale-out (SURVEY §2c): frames data-parallel, center
+        # rows atom-parallel, per-frame stats psum-reduced over atoms
+        from waterorderlib_tpu.parallel import mesh as pmesh
+
+        return pmesh.sharded_three_body_analysis(
+            wat_pos, boxes, masks, mesh, low_cut, high_cut, k=max_neighbors,
+            n_bins=n_bins, lo=lo, hi=hi, n2x=n2x, row_block=row_block,
+        )
 
     def per_pop_metrics(aset, center_mask):
         valid = aset.valid & center_mask[:, None, None]
@@ -355,13 +366,16 @@ def three_body_calc(
     seed: int | None = 0,
     output_2d: bool = False,
     chunk_frames: int | None = None,
+    mesh=None,
 ):
     """Three-body angle distribution driver (orderParam_lib.py:1269-1424).
 
     Returns (pTet, avgCos, varCos, entropy, nWats), each [means, CIs] over
     populations (slot 0 = all waters). Writes 3bDistribution_j.txt, and with
     output_2d also the (theta, coordination) 2-D histogram PNG + txt.
-    With `chunk_frames` the trajectory streams in chunks (io/streaming.py).
+    With `chunk_frames` the trajectory streams in chunks (io/streaming.py);
+    with `mesh` (parallel.mesh.make_mesh) each batch shards over the
+    ('frames', 'atoms') device mesh — the two options compose.
     """
     lo, hi = 0.0, 180.0
     # 2-D (coordination, angle) histogram, xedges=arange(-1.5,13.5) (ref :1390)
@@ -370,7 +384,7 @@ def three_body_calc(
     def core(wat_pos, boxes, masks):
         return _three_body_core(
             wat_pos, boxes, masks, low_cut, high_cut, max_neighbors,
-            row_block, n_bins, lo, hi, n2x,
+            row_block, n_bins, lo, hi, n2x, mesh=mesh,
         )
 
     if chunk_frames is not None:
@@ -526,10 +540,17 @@ def _three_body_outputs(
 # ---------------------------------------------------------------------------
 
 def _lsi_core(wat_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block,
-              n_bins, lo, hi):
+              n_bins, lo, hi, mesh=None):
     """LSI + population statistics for one frame batch: returns
     (hist (P+1, n_bins), (means (F, P+1), vars (F, P+1)))."""
     nw = wat_pos.shape[1]
+    if mesh is not None:
+        from waterorderlib_tpu.parallel import mesh as pmesh
+
+        return pmesh.sharded_lsi_analysis(
+            wat_pos, boxes, masks, mesh, low_cut, high_cut, k=max_neighbors,
+            n_bins=n_bins, lo=lo, hi=hi, row_block=row_block,
+        )
     # TPU: fused LSI kernel over the whole trajectory (certified); the
     # kernel's K=24 candidate list is a superset of any k <= 24 in practice
     # (water has ~6 in-shell members and the next-shell pick is among the
@@ -595,16 +616,19 @@ def lsi_calc(
     row_block: int = pairs.DEFAULT_ROW_BLOCK,
     seed: int | None = 0,
     chunk_frames: int | None = None,
+    mesh=None,
 ):
     """LSI driver (orderParam_lib.py:1586-1663). Returns (avgLSI, varLSI);
     writes lsiDistribution_j.txt per population (500 bins over [0, 0.3]).
-    With `chunk_frames` the trajectory streams in chunks (io/streaming.py)."""
+    With `chunk_frames` the trajectory streams in chunks (io/streaming.py);
+    with `mesh` each batch shards over the ('frames', 'atoms') device mesh."""
     n_bins, lo, hi = 500, 0.0, 0.3
     if chunk_frames is not None:
         hist, (avg_lsi, var_lsi) = _run_chunked(
             top_file, traj_file, sub_inds, n_pops, wat_res, stride, chunk_frames,
             lambda wp, b, m: _lsi_core(
-                wp, b, m, low_cut, high_cut, max_neighbors, row_block, n_bins, lo, hi
+                wp, b, m, low_cut, high_cut, max_neighbors, row_block, n_bins, lo, hi,
+                mesh=mesh,
             ),
             n_carry=1, n_stats=2,
         )
@@ -628,7 +652,8 @@ def lsi_calc(
     masks = jnp.asarray(np.concatenate([all_mask, pops], axis=1))
 
     hist, (avg_lsi, var_lsi) = _lsi_core(
-        wat_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block, n_bins, lo, hi
+        wat_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block,
+        n_bins, lo, hi, mesh=mesh,
     )
     hist = np.asarray(hist)
     for j in range(n_pops + 1):
@@ -656,12 +681,14 @@ def hex_order_calc(
     output_dir: str = ".",
     row_block: int = pairs.DEFAULT_ROW_BLOCK,
     seed: int | None = 0,
+    mesh=None,
 ):
     """psi-6 hexagonal order driver (orderParam_lib.py:1505-1584).
 
     Chain-end centers are every other "water" heavy index
     (endInds = watInds[1::2], ref :1527). Returns (avgPsi, varPsi); writes
-    psiDistribution_j.txt per population.
+    psiDistribution_j.txt per population. With `mesh` the psi computation
+    shards over the ('frames', 'atoms') device mesh.
     """
     top, traj = _resolve_system(top_file, traj_file, stride)
     end_inds, _, _ = top.get_wat_inds(end_res)
@@ -675,6 +702,21 @@ def hex_order_calc(
     all_mask = np.ones((F, 1, ne), dtype=bool)
     masks = jnp.asarray(np.concatenate([all_mask, pops], axis=1))
     n_bins, lo, hi = 500, 0.0, 1.0
+
+    if mesh is not None:
+        from waterorderlib_tpu.parallel import mesh as pmesh
+
+        hist, (avg_psi, var_psi) = pmesh.sharded_psi6_analysis(
+            end_pos, boxes, masks, mesh, low_cut, high_cut, k=max_neighbors,
+            n_bins=n_bins, lo=lo, hi=hi, row_block=row_block,
+        )
+        hist = np.asarray(hist)
+        for j in range(n_pops + 1):
+            _save_hist(
+                os.path.join(output_dir, f"psiDistribution_{j}.txt"),
+                hist[j], n_bins, lo, hi, "psiVal    frequency",
+            )
+        return _mean_ci_rows(np.asarray(avg_psi), seed), _mean_ci_rows(np.asarray(var_psi), seed)
 
     # TPU: fused psi6 kernel (Chebyshev cos/sin(6 theta), certified windows)
     hist = None

@@ -12,7 +12,8 @@ This module restores the streaming capability TPU-natively:
 - `iter_chunks` yields (positions, boxes) chunks with a one-chunk prefetch
   thread, so disk/decode of chunk k+1 overlaps device compute on chunk k;
 - drivers accept `chunk_frames=...` and scan per chunk with carried
-  histograms — chunked results bit-match the single-shot path because every
+  histograms — chunked results match the single-shot path (counts exactly,
+  float stats to ~1 ulp) because every
   per-frame computation is frame-local.
 """
 

@@ -135,25 +135,44 @@ def willard_density_grid(
     order = jnp.argsort(wrapped[:, 2])
     sp = wrapped[order]
     L = box[2]
-    z_shift = jnp.stack([jnp.zeros(pad), jnp.zeros(pad), jnp.full(pad, 1.0) * L], axis=-1)
-    ext = jnp.concatenate([sp[-pad:] - z_shift, sp, sp[:pad] + z_shift], axis=0)
-    n_ext = ext.shape[0]
-    w = min(window, n_ext, (n // 128) * 128)
-
-    ext_z = ext[:, 2]
     gz = gz0 + dgz * jnp.arange(nz, dtype=jnp.float32)
     # plane z may lie outside [0, L): wrap it for the window search (the
     # kernel's min-image handles the distance either way)
     gz_w = jnp.mod(gz, L)
-    starts = jnp.searchsorted(ext_z, gz_w - cut, side="left")
-    ends = jnp.searchsorted(ext_z, gz_w + cut, side="right")
-    starts = (starts // 128) * 128
-    starts = jnp.clip(starts, 0, n_ext - w)
-    # pad slabs must span >= cut in z, or cross-boundary Gaussians fall
-    # outside ext while the window check still passes
-    pad_ok = (ext_z[0] <= jnp.min(gz_w) - cut) & (ext_z[-1] >= jnp.max(gz_w) + cut)
-    covered = jnp.all(ends - starts <= w) & pad_ok
-    starts = (starts // 128).astype(jnp.int32)
+
+    n128 = max(128, -(-n // 128) * 128)
+    if n128 <= window:
+        # Small system: every window would hold all atoms, so boundary
+        # copies would be double-counted (the kernel min-images z, folding
+        # an atom's +-L copy back onto the original). Run brute: the whole
+        # atom set (sentinel-padded to a lane multiple) in one window,
+        # pure min-image — exact by construction.
+        w = n128
+        ext = sp
+        if n128 > n:
+            sentinel = jnp.full((n128 - n, 3), 1e6, ext.dtype)
+            ext = jnp.concatenate([ext, sentinel], axis=0)
+        starts = jnp.zeros((nz,), jnp.int32)
+        covered = jnp.bool_(True)
+    else:
+        z_shift = jnp.stack(
+            [jnp.zeros(pad), jnp.zeros(pad), jnp.full(pad, 1.0) * L], axis=-1
+        )
+        ext = jnp.concatenate([sp[-pad:] - z_shift, sp, sp[:pad] + z_shift], axis=0)
+        n_ext = ext.shape[0]
+        # window strictly smaller than the atom count, so no window can hold
+        # an atom together with its own periodic copy
+        w = min(window, (n // 128) * 128)
+        ext_z = ext[:, 2]
+        starts = jnp.searchsorted(ext_z, gz_w - cut, side="left")
+        ends = jnp.searchsorted(ext_z, gz_w + cut, side="right")
+        starts = (starts // 128) * 128
+        starts = jnp.clip(starts, 0, n_ext - w)
+        # pad slabs must span >= cut in z, or cross-boundary Gaussians fall
+        # outside ext while the window check still passes
+        pad_ok = (ext_z[0] <= jnp.min(gz_w) - cut) & (ext_z[-1] >= jnp.max(gz_w) + cut)
+        covered = jnp.all(ends - starts <= w) & pad_ok
+        starts = (starts // 128).astype(jnp.int32)
 
     ext_t = jnp.transpose(ext).astype(jnp.float32)
 

@@ -152,6 +152,270 @@ def sharded_q_analysis_padded(
     return q[:f, :n], mean_q[:f], hist
 
 
+# ---------------------------------------------------------------------------
+# generic per-center value analyses (LSI, psi6): frames DP x atoms TP with
+# per-frame per-population statistics psum-reduced over the atom axis
+# ---------------------------------------------------------------------------
+
+def _pad_for_mesh(pos, boxes, masks, mesh):
+    """Pad (F, N, 3) positions / (F, P+1, N) masks to mesh-divisible sizes.
+
+    Frames repeat the last frame with all-False masks (their stats rows are
+    trimmed by the caller); atoms pad with NaN positions, which every shell
+    test excludes (NaN comparisons are False), so padding atoms are never
+    neighbors of real atoms and never centers of any population."""
+    f, n = pos.shape[:2]
+    df, da = mesh.devices.shape
+    pad_f = (-f) % df
+    pad_n = (-n) % da
+    if pad_f:
+        pos = jnp.concatenate([pos, jnp.repeat(pos[-1:], pad_f, axis=0)], axis=0)
+        boxes = jnp.concatenate([boxes, jnp.repeat(boxes[-1:], pad_f, axis=0)], axis=0)
+        masks = jnp.concatenate(
+            [masks, jnp.zeros((pad_f,) + masks.shape[1:], bool)], axis=0
+        )
+    if pad_n:
+        pos = jnp.concatenate(
+            [pos, jnp.full((pos.shape[0], pad_n, 3), jnp.nan, pos.dtype)], axis=1
+        )
+        masks = jnp.concatenate(
+            [masks, jnp.zeros(masks.shape[:2] + (pad_n,), bool)], axis=2
+        )
+    return pos, boxes, masks, f
+
+
+def _moment_stats(n, s, s2):
+    """(mean, population variance) from psum-reduced moments; NaN when the
+    population is empty, matching histograms.masked_mean_var."""
+    nf = jnp.maximum(n, 1).astype(s.dtype)
+    mean = s / nf
+    var = jnp.maximum(s2 / nf - mean * mean, 0.0)
+    nan = jnp.float32(jnp.nan)
+    return jnp.where(n > 0, mean, nan), jnp.where(n > 0, var, nan)
+
+
+def _sharded_center_value_stats(pos, boxes, masks, mesh, value_fn, n_bins, lo, hi):
+    """Shared engine: value_fn(rows, full_atoms, box) -> (value (Nloc,),
+    valid (Nloc,)) per frame; returns (hist (P+1, n_bins) global,
+    (means (F, P+1), vars (F, P+1)))."""
+
+    def local(pos_blk, box_blk, mask_blk):
+        # pos_blk (F_loc, N_loc, 3); mask_blk (F_loc, P+1, N_loc)
+        pos_full = jax.lax.all_gather(pos_blk, "atoms", axis=1, tiled=True)
+
+        def one_frame(args):
+            rows, full, box = args
+            return value_fn(rows, full, box)
+
+        value, valid = jax.lax.map(one_frame, (pos_blk, pos_full, box_blk))
+
+        pv = mask_blk & valid[:, None, :]  # (F_loc, P+1, N_loc)
+        vb = value[:, None, :]
+        n = jax.lax.psum(jnp.sum(pv, axis=-1), "atoms")
+        s = jax.lax.psum(jnp.sum(jnp.where(pv, vb, 0.0), axis=-1), "atoms")
+        s2 = jax.lax.psum(jnp.sum(jnp.where(pv, vb * vb, 0.0), axis=-1), "atoms")
+        mean, var = _moment_stats(n, s, s2)
+
+        hist = jax.vmap(
+            jax.vmap(
+                lambda v, m: histograms.masked_histogram(v, m, n_bins, lo, hi),
+                in_axes=(None, 0),
+            )
+        )(value, pv)  # (F_loc, P+1, n_bins)
+        hist = jax.lax.psum(jnp.sum(hist, axis=0), ("frames", "atoms"))
+        return hist, mean, var
+
+    hist, mean, var = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("frames", "atoms", None), P("frames", None), P("frames", None, "atoms")),
+        out_specs=(P(), P("frames"), P("frames")),
+        check_vma=False,
+    )(pos, boxes, masks)
+    return hist, (mean, var)
+
+
+@partial(jax.jit, static_argnames=("mesh", "n_bins", "k", "row_block"))
+def sharded_lsi_analysis(
+    pos: jnp.ndarray,
+    boxes: jnp.ndarray,
+    masks: jnp.ndarray,
+    mesh: Mesh,
+    low_cut: float = 0.0,
+    high_cut: float = 3.7,
+    k: int = 24,
+    n_bins: int = 500,
+    lo: float = 0.0,
+    hi: float = 0.3,
+    row_block: int = 128,
+):
+    """LSI analysis over a ('frames', 'atoms') mesh with population masks.
+
+    pos (F, N, 3), boxes (F, 3), masks (F, P+1, N) bool; arbitrary F/N
+    (padded internally). Returns (hist (P+1, n_bins),
+    (means (F, P+1), vars (F, P+1))) matching drivers._lsi_core."""
+    from waterorderlib_tpu.order import lsi as lsi_mod
+
+    f = pos.shape[0]
+    pos, boxes, masks, _ = _pad_for_mesh(pos, boxes, masks, mesh)
+
+    def value_fn(rows, full, box):
+        res = lsi_mod.lsi(
+            rows, full, box, low_cut, high_cut, k=k,
+            row_block=min(row_block, rows.shape[0]),
+        )
+        return res.lsi, res.valid
+
+    hist, (mean, var) = _sharded_center_value_stats(
+        pos, boxes, masks, mesh, value_fn, n_bins, lo, hi
+    )
+    return hist, (mean[:f], var[:f])
+
+
+@partial(jax.jit, static_argnames=("mesh", "n_bins", "k", "row_block"))
+def sharded_psi6_analysis(
+    pos: jnp.ndarray,
+    boxes: jnp.ndarray,
+    masks: jnp.ndarray,
+    mesh: Mesh,
+    low_cut: float = 0.0,
+    high_cut: float = 7.0,
+    k: int = 24,
+    n_bins: int = 500,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    row_block: int = 128,
+):
+    """psi-6 analysis over a ('frames', 'atoms') mesh with population masks.
+
+    Same contract as :func:`sharded_lsi_analysis`; every center is valid
+    (psi=0 below 2 neighbors, like the unsharded driver path)."""
+    from waterorderlib_tpu.order import psi6 as psi6_mod
+
+    f = pos.shape[0]
+    pos, boxes, masks, _ = _pad_for_mesh(pos, boxes, masks, mesh)
+
+    def value_fn(rows, full, box):
+        psi = psi6_mod.order_param_psi(
+            rows, full, box, low_cut, high_cut, k=k,
+            row_block=min(row_block, rows.shape[0]),
+        )
+        return psi, jnp.ones(psi.shape, bool)
+
+    hist, (mean, var) = _sharded_center_value_stats(
+        pos, boxes, masks, mesh, value_fn, n_bins, lo, hi
+    )
+    return hist, (mean[:f], var[:f])
+
+
+@partial(jax.jit, static_argnames=("mesh", "n_bins", "k", "n2x", "row_block"))
+def sharded_three_body_analysis(
+    pos: jnp.ndarray,
+    boxes: jnp.ndarray,
+    masks: jnp.ndarray,
+    mesh: Mesh,
+    low_cut: float = 0.0,
+    high_cut: float = 3.413,
+    k: int = 16,
+    n_bins: int = 500,
+    lo: float = 0.0,
+    hi: float = 180.0,
+    n2x: int = 14,
+    row_block: int = 128,
+):
+    """Full threeBodyCalc analysis step over a ('frames', 'atoms') mesh.
+
+    Center rows shard over 'atoms' (each shard all_gathers the column atoms
+    and computes its row block of pair angles); per-frame per-population
+    moments psum over the atom axis. Returns the same contract as
+    drivers.orderparams._three_body_core:
+    ((hist (P+1, n_bins), hist2d (n2x*n_bins,)),
+     (frac, avg_cos, var_cos, entropy, n_wats) each (F, P+1))."""
+    from waterorderlib_tpu.order import angles as angles_mod
+
+    f = pos.shape[0]
+    pos, boxes, masks, _ = _pad_for_mesh(pos, boxes, masks, mesh)
+
+    def local(pos_blk, box_blk, mask_blk):
+        pos_full = jax.lax.all_gather(pos_blk, "atoms", axis=1, tiled=True)
+
+        def one_frame(args):
+            rows, full, box = args
+            aset = angles_mod.neighbor_angles(
+                rows, full, box, low_cut, high_cut, k=k,
+                row_block=min(row_block, rows.shape[0]),
+            )
+            return aset.ang, aset.valid, aset.count
+
+        ang, valid, count = jax.lax.map(one_frame, (pos_blk, pos_full, box_blk))
+        # ang/valid: (F_loc, N_loc, K, K); count: (F_loc, N_loc)
+
+        def frame_partials(ang_f, valid_f, mask_f):
+            cosv = jnp.cos(jnp.radians(ang_f))
+
+            def per_pop(m):
+                pv = valid_f & m[:, None, None]
+                h = histograms.masked_histogram(ang_f, pv, n_bins, lo, hi)
+                tw = pv & (ang_f >= 100.0) & (ang_f <= 120.0)
+                return (
+                    h,
+                    jnp.sum(pv).astype(jnp.float32),
+                    jnp.sum(tw).astype(jnp.float32),
+                    jnp.sum(jnp.where(tw, cosv, 0.0)),
+                    jnp.sum(jnp.where(tw, cosv * cosv, 0.0)),
+                )
+
+            return jax.vmap(per_pop)(mask_f)
+
+        h, n_tot, n_tet, s, s2 = jax.vmap(frame_partials)(ang, valid, mask_blk)
+        h = jax.lax.psum(h, "atoms")  # (F_loc, P+1, n_bins)
+        n_tot = jax.lax.psum(n_tot, "atoms")
+        n_tet = jax.lax.psum(n_tet, "atoms")
+        s = jax.lax.psum(s, "atoms")
+        s2 = jax.lax.psum(s2, "atoms")
+
+        avg, var = _moment_stats(n_tet, s, s2)
+        # the unsharded tetrahedral_metrics uses max(n,1) denominators (no
+        # NaN) for avg/var — match it
+        avg = jnp.nan_to_num(avg)
+        var = jnp.nan_to_num(var)
+        frac = n_tet / jnp.maximum(n_tot, 1.0)
+        dens = h / jnp.maximum(jnp.sum(h, axis=-1, keepdims=True), 1.0)
+        ent = -jnp.sum(
+            jnp.where(dens > 0, dens * jnp.log(jnp.where(dens > 0, dens, 1.0)), 0.0),
+            axis=-1,
+        )
+        n_wats = jax.lax.psum(
+            jnp.sum(mask_blk, axis=-1).astype(jnp.float32), "atoms"
+        )
+        hist_global = jax.lax.psum(jnp.sum(h, axis=0), "frames")
+
+        # 2-D (coordination, angle) histogram: all-population scatter-add,
+        # matching the XLA step in drivers.orderparams._three_body_core
+        cc = jnp.clip(count - 1, 0, n2x - 1)
+        cc2 = jnp.broadcast_to(cc[:, :, None, None], ang.shape)
+        flat_bin = cc2.astype(jnp.int32) * n_bins + jnp.clip(
+            jnp.floor(ang / (hi / n_bins)).astype(jnp.int32), 0, n_bins - 1
+        )
+        # gate on the all-waters mask row so padded (repeated) frames and
+        # padded atoms contribute nothing
+        okf = (valid & mask_blk[:, 0, :, None, None]).reshape(-1)
+        h2 = jnp.zeros(n2x * n_bins, jnp.float32).at[
+            jnp.where(okf, flat_bin.reshape(-1), 0)
+        ].add(okf.astype(jnp.float32))
+        h2 = jax.lax.psum(h2, ("frames", "atoms"))
+        return hist_global, h2, frac, avg, var, ent, n_wats
+
+    hist, h2, frac, avg, var, ent, n_wats = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("frames", "atoms", None), P("frames", None), P("frames", None, "atoms")),
+        out_specs=(P(), P(), P("frames"), P("frames"), P("frames"), P("frames"), P("frames")),
+        check_vma=False,
+    )(pos, boxes, masks)
+    return (hist, h2), (frac[:f], avg[:f], var[:f], ent[:f], n_wats[:f])
+
+
 @partial(jax.jit, static_argnames=("mesh", "n_bins", "k", "row_block"))
 def sharded_three_body_hist(
     pos: jnp.ndarray,
