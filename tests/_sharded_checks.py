@@ -160,6 +160,29 @@ def check_three_body_analysis(df, da):
     print(f"three-body analysis mesh {df}x{da}: ok")
 
 
+def check_rdf_mesh(df, da, tmp="/tmp/_sharded_rdf_check"):
+    """rdf_calc(mesh=...) per-frame sharded histograms match single-device."""
+    import os
+    import shutil
+    from waterorderlib_tpu.io.synthetic import make_water_box
+    from waterorderlib_tpu.drivers.rdf import rdf_calc
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp + "/a")
+    os.makedirs(tmp + "/b")
+    top, traj = make_water_box(60, n_frames=5, seed=63, solute_elements=["C", "O"])
+    m = pmesh.make_mesh(df, da)
+    ra = rdf_calc(top, traj, output_dir=tmp + "/a")
+    rb = rdf_calc(top, traj, output_dir=tmp + "/b", mesh=m)
+    for a, b in zip(ra, rb):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
+    ha = np.loadtxt(tmp + "/a/rdf.txt")
+    hb = np.loadtxt(tmp + "/b/rdf.txt")
+    np.testing.assert_allclose(ha, hb, rtol=1e-5, atol=1e-8)
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(f"rdf mesh option {df}x{da}: ok")
+
+
 def check_driver_mesh_option(df, da, tmp="/tmp/_sharded_driver_check"):
     """tet_order_calc(mesh=...) shards the q computation across the device
     mesh and matches the single-device driver exactly."""
@@ -196,6 +219,7 @@ def main():
     check_lsi_psi6_analysis(4, 2)
     check_three_body_analysis(4, 2)
     check_three_body_analysis(2, 4)
+    check_rdf_mesh(4, 2)
     check_driver_mesh_option(4, 2)
     print("sharded checks: all ok")
 

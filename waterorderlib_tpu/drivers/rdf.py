@@ -48,6 +48,7 @@ def rdf_calc(
     n_chunks: int = 5,
     output_dir: str = ".",
     chunk_frames: int | None = None,
+    mesh=None,
 ):
     """Returns ([n1_OwOw, se], [n1_SolOw, se], [tParam, se]) with a solute,
     or ([n1_OwOw, se], [tParam, se]) for pure water (the reference returns a
@@ -55,7 +56,9 @@ def rdf_calc(
 
     With `chunk_frames` the trajectory streams through the device in chunks
     (io/streaming.py; per-frame g(r) curves are tiny, so only the chunk's
-    coordinates are ever device- or host-resident)."""
+    coordinates are ever device- or host-resident). With `mesh`
+    (parallel.mesh.make_mesh) per-frame histograms shard over the device
+    mesh (frames as data parallelism); the options compose."""
 
     @jax.jit
     def frame_rdfs(wat_pos, sol_pos, boxes):
@@ -79,6 +82,28 @@ def rdf_calc(
     def batch_curves(pos_b, boxes_b, wat_inds, sol_inds):
         wat_pos = jnp.asarray(pos_b[:, wat_inds, :])
         boxes_d = jnp.asarray(boxes_b)
+        if mesh is not None:
+            from waterorderlib_tpu.parallel import mesh as pmesh
+
+            def norm(counts, n_rows):
+                return np.asarray(pairs.rdf_from_counts(counts, n_rows, binwidth, 1.0))
+
+            c_ww = pmesh.sharded_frame_distance_histograms(
+                wat_pos, wat_pos, boxes_d, mesh, binwidth, totbins, same=True
+            )
+            g_ww = norm(c_ww, len(wat_inds))
+            if len(sol_inds):
+                sol_pos = jnp.asarray(pos_b[:, sol_inds, :])
+                c_ss = pmesh.sharded_frame_distance_histograms(
+                    sol_pos, sol_pos, boxes_d, mesh, binwidth, totbins, same=True
+                )
+                # cross counts: rows = waters, normalized by the solute count
+                # (matching pairs.radial_dist(sol, wat))
+                c_sw = pmesh.sharded_frame_distance_histograms(
+                    wat_pos, sol_pos, boxes_d, mesh, binwidth, totbins, same=False
+                )
+                return g_ww, norm(c_ss, len(sol_inds)), norm(c_sw, len(sol_inds))
+            return g_ww, np.zeros_like(g_ww), np.zeros_like(g_ww)
         if len(sol_inds):
             sol_pos = jnp.asarray(pos_b[:, sol_inds, :])
             return tuple(np.asarray(x) for x in frame_rdfs(wat_pos, sol_pos, boxes_d))

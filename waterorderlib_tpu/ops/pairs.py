@@ -198,13 +198,14 @@ def _hist_from_dsq(dsq, weights_mask, binwidth, nbins):
     removes the sqrt. Bin chunks bound the broadcast tensor.
     """
     thr_sq = (jnp.arange(nbins + 1, dtype=jnp.float32) * binwidth) ** 2
-    flat = dsq.reshape(-1)
-    m = weights_mask.reshape(-1)
+    # pre-mask once (+inf fails every threshold) instead of ANDing the mask
+    # into each of the nbins+1 compares — one pass saved per threshold
+    flat = jnp.where(weights_mask, dsq, jnp.inf).reshape(-1)
     chunk = 64
     cums = []
     for k0 in range(0, nbins + 1, chunk):
         t = thr_sq[k0 : k0 + chunk]
-        leq = (flat[:, None] <= t[None, :]) & m[:, None]
+        leq = flat[:, None] <= t[None, :]
         cums.append(jnp.sum(leq.astype(jnp.float32), axis=0))
     cum = jnp.concatenate(cums)
     return cum[1:] - cum[:-1]
@@ -231,21 +232,29 @@ def distance_histogram(
     n1 = pos1.shape[0]
 
     if same:
+        # triangular block-pair iteration: only the (bi <= bj) block pairs
+        # are visited, halving both the distance and the threshold-compare
+        # work vs a full N x N sweep with an i<j mask
         padded, _ = _pad_rows(pos1, block)
-        blocks = _block_rows(padded, block)
-        nblocks = blocks.shape[0]
+        nblocks = padded.shape[0] // block
+        import numpy as _np
 
-        def one_block(carry, args):
-            bi, sub_blk = args
-            dsq = pair_dist_sq(sub_blk, padded, box)
+        tri = _np.array(
+            [(i, j) for i in range(nblocks) for j in range(i, nblocks)], _np.int32
+        ).reshape(-1, 2)
+
+        def one_pair(carry, args):
+            bi, bj = args[0], args[1]
+            blk_i = jax.lax.dynamic_slice(padded, (bi * block, 0), (block, 3))
+            blk_j = jax.lax.dynamic_slice(padded, (bj * block, 0), (block, 3))
+            dsq = pair_dist_sq(blk_i, blk_j, box)
             row_ids = bi * block + jnp.arange(block)[:, None]
-            col_ids = jnp.arange(padded.shape[0])[None, :]
+            col_ids = bj * block + jnp.arange(block)[None, :]
             mask = (row_ids < col_ids) & (row_ids < n1) & (col_ids < n1)
             return carry + _hist_from_dsq(dsq, mask, binwidth, nbins), None
 
-        init = jnp.zeros(nbins, jnp.float32)
         counts, _ = jax.lax.scan(
-            one_block, init, (jnp.arange(nblocks), blocks)
+            one_pair, jnp.zeros(nbins, jnp.float32), jnp.asarray(tri)
         )
         return counts
 

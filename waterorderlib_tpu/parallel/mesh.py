@@ -456,6 +456,51 @@ def sharded_three_body_hist(
     )(pos, boxes)
 
 
+@partial(jax.jit, static_argnames=("mesh", "nbins", "same", "row_block"))
+def sharded_frame_distance_histograms(
+    pos1: jnp.ndarray,
+    pos2: jnp.ndarray,
+    boxes: jnp.ndarray,
+    mesh: Mesh,
+    binwidth: float,
+    nbins: int,
+    same: bool = False,
+    row_block: int = 512,
+):
+    """Per-frame pair-distance histograms with frames sharded over the full
+    mesh (both axes as data parallelism) — the rdfCalc building block, which
+    needs per-frame g(r) curves for its chunk statistics rather than one
+    psum-reduced total. Arbitrary F (frames padded by repetition, trimmed).
+
+    pos1/pos2 (F, N, 3), boxes (F, 3) -> counts (F, nbins)."""
+    f = pos1.shape[0]
+    n_dev = mesh.devices.size
+    pad_f = (-f) % n_dev
+    if pad_f:
+        pos1 = jnp.concatenate([pos1, jnp.repeat(pos1[-1:], pad_f, axis=0)], axis=0)
+        pos2 = jnp.concatenate([pos2, jnp.repeat(pos2[-1:], pad_f, axis=0)], axis=0)
+        boxes = jnp.concatenate([boxes, jnp.repeat(boxes[-1:], pad_f, axis=0)], axis=0)
+
+    def local(p1, p2, box):
+        def one(carry, fr):
+            a, b, bx = fr
+            return carry, pairs.distance_histogram(
+                a, b, bx, binwidth, nbins, same=same, row_block=row_block
+            )
+
+        return jax.lax.scan(one, 0.0, (p1, p2, box))[1]
+
+    out = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(("frames", "atoms"), None, None),) * 2
+        + (P(("frames", "atoms"), None),),
+        out_specs=P(("frames", "atoms")),
+        check_vma=False,
+    )(pos1, pos2, boxes)
+    return out[:f]
+
+
 @partial(jax.jit, static_argnames=("mesh", "nbins", "same"))
 def sharded_distance_histogram(
     pos1: jnp.ndarray,
