@@ -16,7 +16,7 @@ Implementation ladder for the headline (first whose exactness holds wins):
 
 Timing is honest for this remote-TPU relay: inputs are perturbed every
 iteration (the runtime memoizes identical dispatches), a tiny host fetch is
-the barrier, and the batch is large (F=256) so the ~40 ms fixed dispatch
+the barrier, and the batch is large (F=1024) so the ~40 ms fixed dispatch
 round-trip is amortized the way any production trajectory scan amortizes it.
 
 Prints ONE JSON line:
@@ -37,7 +37,7 @@ import numpy as np
 BASELINE_FPS = 9.073
 
 N_WATERS = 4096
-N_FRAMES = 512
+N_FRAMES = 1024
 HIGH_CUT = 10.0
 
 
