@@ -183,6 +183,29 @@ def check_rdf_mesh(df, da, tmp="/tmp/_sharded_rdf_check"):
     print(f"rdf mesh option {df}x{da}: ok")
 
 
+def check_hb_mesh(df, da, tmp="/tmp/_sharded_hb_check"):
+    """hb_calc(mesh=...) frame-DP sharding matches single-device."""
+    import os
+    import shutil
+    from waterorderlib_tpu.io.synthetic import make_water_box
+    from waterorderlib_tpu.drivers.hbonds_driver import hb_calc
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp + "/a")
+    os.makedirs(tmp + "/b")
+    top, traj = make_water_box(20, n_frames=5, seed=64, solute_elements=["O", "C"])
+    m = pmesh.make_mesh(df, da)
+    wa, sa = hb_calc(top, traj, output_dir=tmp + "/a")
+    wb, sb = hb_calc(top, traj, output_dir=tmp + "/b", mesh=m)
+    np.testing.assert_allclose(wa, wb, rtol=1e-6)
+    np.testing.assert_allclose(sa, sb, rtol=1e-6)
+    ha = np.loadtxt(tmp + "/a/hbDistribution_water.txt")
+    hb = np.loadtxt(tmp + "/b/hbDistribution_water.txt")
+    np.testing.assert_allclose(ha, hb, atol=1e-4)
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(f"hb mesh option {df}x{da}: ok")
+
+
 def check_driver_mesh_option(df, da, tmp="/tmp/_sharded_driver_check"):
     """tet_order_calc(mesh=...) shards the q computation across the device
     mesh and matches the single-device driver exactly."""
@@ -220,6 +243,7 @@ def main():
     check_three_body_analysis(4, 2)
     check_three_body_analysis(2, 4)
     check_rdf_mesh(4, 2)
+    check_hb_mesh(4, 2)
     check_driver_mesh_option(4, 2)
     print("sharded checks: all ok")
 

@@ -42,12 +42,15 @@ def hb_calc(
     ang_cut: float = 120.0,
     output_dir: str = ".",
     chunk_frames: int | None = None,
+    mesh=None,
 ):
     """Average H-bonds per water and per cosolvent molecule
     (orderParam_lib.py:729-917). Writes hbDistribution_water.txt and
     hbDistribution_cosolv.txt (histogram bins [0,1,...,10]); returns
     (avgWatHBs, avgSolHBs). With `chunk_frames` the trajectory streams
-    through the device in chunks (io/streaming.py)."""
+    through the device in chunks (io/streaming.py); with `mesh`
+    (parallel.mesh.make_mesh) frames shard over the device mesh as data
+    parallelism — the options compose."""
     if chunk_frames is not None:
         from waterorderlib_tpu.io.topology import Topology
         from waterorderlib_tpu.io.trajectory import load_topology
@@ -77,8 +80,8 @@ def hb_calc(
     # counting kernel replaces it (consumers only need row/column sums)
     use_pallas_watwat = jax.devices()[0].platform == "tpu" and nw >= 512
 
-    def step(carry, frame):
-        p, box = frame
+    def frame_counts(p, box):
+        """Per-frame H-bond totals: (wat_tot (Nw,), sol_tot (n_sol,))."""
         wat_acc_pos = p[wat_acc]
         wat_don_pos = p[wat_don]
         wat_donh_pos = p[wat_donh]
@@ -131,9 +134,11 @@ def hb_calc(
             )
         else:
             sol_tot = jnp.zeros(max(n_sol, 1), jnp.int32)
+        return wat_tot.astype(jnp.float32), sol_tot.astype(jnp.float32)
 
-        wat_tot = wat_tot.astype(jnp.float32)
-        sol_tot = sol_tot.astype(jnp.float32)
+    def step(carry, frame):
+        p, box = frame
+        wat_tot, sol_tot = frame_counts(p, box)
         h_wat, h_sol = carry
         h_wat = h_wat + histograms.masked_histogram(
             wat_tot, jnp.ones_like(wat_tot, bool), n_bins, 0.0, float(n_bins)
@@ -147,6 +152,59 @@ def hb_calc(
     def run(pos, boxes):
         init = (jnp.zeros(n_bins, jnp.float32), jnp.zeros(n_bins, jnp.float32))
         return jax.lax.scan(step, init, (pos, boxes))
+
+    if mesh is not None:
+        # frames shard over the whole mesh as data parallelism; padded
+        # frames carry weight 0 so histograms stay exact
+        from functools import partial as _partial
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as _P
+
+        @_partial(jax.jit, static_argnames=())
+        def run_sharded(pos, boxes, weights):
+            def local(p, b, w):
+                def one(carry, fr):
+                    pf, bf, wf = fr
+                    wat_tot, sol_tot = frame_counts(pf, bf)
+                    hw = wf * histograms.masked_histogram(
+                        wat_tot, jnp.ones_like(wat_tot, bool), n_bins, 0.0, float(n_bins)
+                    )
+                    hs = wf * histograms.masked_histogram(
+                        sol_tot, jnp.ones_like(sol_tot, bool), n_bins, 0.0, float(n_bins)
+                    )
+                    h_wat, h_sol = carry
+                    return (h_wat + hw, h_sol + hs), (jnp.mean(wat_tot), jnp.mean(sol_tot))
+
+                init = (jnp.zeros(n_bins, jnp.float32), jnp.zeros(n_bins, jnp.float32))
+                (hw, hs), (wm, sm) = jax.lax.scan(one, init, (p, b, w))
+                return (
+                    jax.lax.psum(hw, ("frames", "atoms")),
+                    jax.lax.psum(hs, ("frames", "atoms")),
+                    wm,
+                    sm,
+                )
+
+            spec = _P(("frames", "atoms"))
+            return shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(_P(("frames", "atoms"), None, None), _P(("frames", "atoms"), None), spec),
+                out_specs=(_P(), _P(), spec, spec),
+                check_vma=False,
+            )(pos, boxes, weights)
+
+        def run(pos, boxes):  # noqa: F811 — mesh-sharded override
+            f = pos.shape[0]
+            n_dev = mesh.devices.size
+            pad_f = (-f) % n_dev
+            w = jnp.ones(f, jnp.float32)
+            if pad_f:
+                pos = jnp.concatenate([pos, jnp.repeat(pos[-1:], pad_f, axis=0)], axis=0)
+                boxes = jnp.concatenate([boxes, jnp.repeat(boxes[-1:], pad_f, axis=0)], axis=0)
+                w = jnp.concatenate([w, jnp.zeros(pad_f, jnp.float32)])
+            hw, hs, wm, sm = run_sharded(pos, boxes, w)
+            return (hw, hs), (wm[:f], sm[:f])
 
     if chunk_frames is not None:
         from waterorderlib_tpu.io.streaming import iter_chunks
