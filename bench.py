@@ -243,7 +243,7 @@ def breakdown():
     try:
         from waterorderlib_tpu.density import fields
 
-        Fw = 4
+        Fw = 8
         posw = jax.device_put(pos[:Fw])
         boxesw = jax.device_put(boxes[:Fw])
         g = jnp.linspace(0.0, box_len, 81).astype(jnp.float32)

@@ -325,6 +325,31 @@ def test_willard_grid_kernel_matches_xla():
 
 
 @needs_tpu
+def test_willard_grid_kernel_small_system():
+    """Regression: below one lane tile of atoms (or whenever a window could
+    hold the whole set) the kernel must drop the boundary copies — a window
+    holding an atom AND its +-L copy double-counts after z min-imaging, and
+    w=0 windows don't lower at all."""
+    from waterorderlib_tpu.ops.pallas.willard_grid import willard_density_grid
+    from waterorderlib_tpu.density import fields
+
+    rs = np.random.RandomState(11)
+    for n in (62, 500):
+        box_len = (n / 0.033456) ** (1.0 / 3.0)
+        pos = jnp.asarray(rs.uniform(0, box_len, (n, 3)), jnp.float32)
+        box = jnp.asarray([box_len] * 3, dtype=jnp.float32)
+        ng = 17
+        dg = float(box_len / ng)
+        dens, _, covered = willard_density_grid(
+            pos, box, 0.0, dg, ng, 0.0, dg, ng, 0.0, dg, ng, 2.4
+        )
+        assert bool(covered)
+        g = jnp.asarray(np.arange(ng) * dg, jnp.float32)
+        d_ref, _ = fields.willard_density_field(pos, g, g, g, box, 2.4, nx=ng, ny=ng, nz=ng)
+        np.testing.assert_allclose(np.asarray(dens), np.asarray(d_ref), atol=1e-6)
+
+
+@needs_tpu
 def test_psi6_kernel_matches_xla():
     from waterorderlib_tpu.ops.pallas import psi6_kernel
     from waterorderlib_tpu.order import psi6 as psi6_mod

@@ -29,6 +29,9 @@ def _add_common(p):
     p.add_argument("--chunk-frames", type=int, default=0,
                    help="stream the trajectory in chunks of this many frames "
                         "(larger-than-memory support; 0 = load whole)")
+    p.add_argument("--mesh", default="",
+                   help="shard over a device mesh, e.g. 4x2 = 4 frame shards "
+                        "x 2 atom shards (tet/3body/lsi/psi/rdf/hb)")
 
 
 def main(argv=None):
@@ -78,6 +81,11 @@ def main(argv=None):
 
     common = dict(stride=args.stride, output_dir=args.output_dir, wat_res=args.wat_res)
     chunk = {"chunk_frames": args.chunk_frames} if args.chunk_frames else {}
+    if getattr(args, "mesh", ""):
+        from waterorderlib_tpu.parallel.mesh import make_mesh
+
+        df, da = (int(x) for x in args.mesh.lower().split("x"))
+        chunk["mesh"] = make_mesh(df, da)
 
     if args.cmd == "tet":
         from waterorderlib_tpu.drivers.orderparams import tet_order_calc
@@ -107,7 +115,8 @@ def main(argv=None):
 
         common.pop("wat_res")
         avg_psi, var_psi = hex_order_calc(
-            args.top, args.traj, end_res=args.wat_res, high_cut=args.high_cut, **common
+            args.top, args.traj, end_res=args.wat_res, high_cut=args.high_cut,
+            mesh=chunk.get("mesh"), **common,
         )
         print(json.dumps({"avgPsi": avg_psi[0].tolist()}))
     elif args.cmd == "rdf":
@@ -127,6 +136,7 @@ def main(argv=None):
     elif args.cmd == "chempot":
         from waterorderlib_tpu.drivers.chempot import chem_pot_calc
 
+        chunk.pop("mesh", None)
         mu, avg_n, avg_n2 = chem_pot_calc(
             args.top, args.traj, probe_radius=args.probe_radius,
             n_insertions=args.insertions, **common, **chunk,
