@@ -63,6 +63,73 @@ def test_dcd_roundtrip(tmp_path):
     assert t3.n_frames == 3
 
 
+def test_mdcrd_roundtrip(tmp_path):
+    """AMBER ASCII: write -> read at 1e-3 coordinate precision (the 8.3
+    fixed-width format), boxed and box-less, stride, lazy range reads."""
+    from waterorderlib_tpu.io import mdcrd
+
+    top, traj = make_water_box(8, n_frames=5, seed=12)
+    n = traj.n_atoms
+    p = str(tmp_path / "t.mdcrd")
+    mdcrd.write_mdcrd(p, traj)
+    t2 = mdcrd.read_mdcrd(p, n)
+    np.testing.assert_allclose(t2.positions, traj.positions, atol=6e-4)
+    np.testing.assert_allclose(t2.boxes, traj.boxes, atol=6e-4)
+    t3 = mdcrd.read_mdcrd(p, n, stride=2)
+    assert t3.n_frames == 3
+
+    # abutting negative fixed-width fields must parse (no whitespace split)
+    import numpy as _np
+    from waterorderlib_tpu.io.trajectory import Trajectory
+
+    neg = Trajectory(
+        _np.full((2, n, 3), -100.123, _np.float32),
+        _np.full((2, 3), 999.999, _np.float32),
+    )
+    pn = str(tmp_path / "neg.mdcrd")
+    mdcrd.write_mdcrd(pn, neg)
+    tn = mdcrd.read_mdcrd(pn, n)
+    np.testing.assert_allclose(tn.positions, neg.positions, atol=6e-4)
+
+    # box-less convention: boxes come back as -1
+    nb = Trajectory(traj.positions, _np.full((5, 3), -1.0, _np.float32))
+    pb = str(tmp_path / "nobox.mdcrd")
+    mdcrd.write_mdcrd(pb, nb)
+    tb = mdcrd.read_mdcrd(pb, n)
+    assert tb.n_frames == 5 and float(tb.boxes[0, 0]) == -1.0
+
+    # lazy frame-range reader (streaming source)
+    rdr = mdcrd.LazyMdcrd(p, n)
+    assert rdr.n_frames == 5 and rdr.has_box
+    pos, boxes = rdr.read(3, 4)  # clipped to final 2 frames
+    assert pos.shape == (2, n, 3)
+    np.testing.assert_allclose(pos, traj.positions[3:], atol=6e-4)
+    rdr.close()
+
+
+def test_mdcrd_front_door(tmp_path):
+    """load_system routes .mdcrd (atom count from the topology) and the
+    chunked driver path streams it."""
+    from waterorderlib_tpu.io import mdcrd
+    from waterorderlib_tpu.io.trajectory import load_system
+    from waterorderlib_tpu.drivers.orderparams import tet_order_calc
+
+    top, traj = make_water_box(27, n_frames=6, seed=17)
+    p = str(tmp_path / "t.mdcrd")
+    mdcrd.write_mdcrd(p, traj)
+    top_json = str(tmp_path / "t.json")
+    top.to_json(top_json)
+    top2, traj2 = load_system(top_json, p)
+    assert traj2.n_frames == 6 and traj2.n_atoms == traj.n_atoms
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    a_avg, _ = tet_order_calc(top_json, p, output_dir=str(tmp_path / "a"), row_block=16)
+    b_avg, _ = tet_order_calc(
+        top_json, p, output_dir=str(tmp_path / "b"), row_block=16, chunk_frames=2
+    )
+    np.testing.assert_allclose(a_avg[0], b_avg[0], rtol=3e-7)
+
+
 def test_netcdf_roundtrip(tmp_path):
     from waterorderlib_tpu.io import netcdf
 

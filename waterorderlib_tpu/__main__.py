@@ -22,7 +22,7 @@ import numpy as np
 
 def _add_common(p):
     p.add_argument("top", help="topology: .json, .npz (embedded), or AMBER .prmtop/.parm7/.top")
-    p.add_argument("traj", help="trajectory: .npz, .dcd, or AMBER NetCDF .nc")
+    p.add_argument("traj", help="trajectory: .npz, .dcd, AMBER NetCDF .nc, or AMBER ASCII .mdcrd/.crd")
     p.add_argument("--stride", type=int, default=1)
     p.add_argument("--wat-res", default="WAT")
     p.add_argument("--output-dir", default=".")

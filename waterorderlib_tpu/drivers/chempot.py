@@ -131,7 +131,7 @@ def chem_pot_calc(
 
         counts = np.zeros(max_overlap, np.float64)
         frame0 = 0
-        for pos_c, boxes_c in iter_chunks(traj_file, chunk_frames, stride):
+        for pos_c, boxes_c in iter_chunks(traj_file, chunk_frames, stride, n_atoms=top.n_atoms):
             fc = pos_c.shape[0]
             # keys indexed by GLOBAL frame position for chunked bit-parity
             keys_c = jax.vmap(

@@ -212,7 +212,7 @@ def hb_calc(
         h_wat = np.zeros(n_bins, np.float32)
         h_sol = np.zeros(n_bins, np.float32)
         wm_parts, sm_parts = [], []
-        for pos_c, boxes_c in iter_chunks(traj_file, chunk_frames, stride):
+        for pos_c, boxes_c in iter_chunks(traj_file, chunk_frames, stride, n_atoms=top.n_atoms):
             (hw, hs), (wm, sm) = run(jnp.asarray(pos_c), jnp.asarray(boxes_c))
             h_wat += np.asarray(hw)
             h_sol += np.asarray(hs)

@@ -451,7 +451,7 @@ def _run_chunked(
                     [ck[f"stats_{c}_{i}"] for i in range(n_stats)]
                     for c in range(int(ck["n_chunks"]))
                 ]
-    for pos_c, boxes_c in iter_chunks(traj_file, chunk_frames, stride):
+    for pos_c, boxes_c in iter_chunks(traj_file, chunk_frames, stride, n_atoms=top.n_atoms):
         fc = pos_c.shape[0]
         if frame0 + fc <= resume_from:
             frame0 += fc

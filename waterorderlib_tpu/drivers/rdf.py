@@ -121,7 +121,7 @@ def rdf_calc(
         has_sol = len(sol_inds) > 0
         parts = [
             batch_curves(pos_c, boxes_c, wat_inds, sol_inds)
-            for pos_c, boxes_c in iter_chunks(traj_file, chunk_frames, stride)
+            for pos_c, boxes_c in iter_chunks(traj_file, chunk_frames, stride, n_atoms=top.n_atoms)
         ]
         g_ww, g_ss, g_sw = (np.concatenate([p[i] for p in parts]) for i in range(3))
         F = g_ww.shape[0]

@@ -129,8 +129,9 @@ class _ArraySource:
         pass
 
 
-def open_lazy(source):
-    """A frame-range reader for a path (.nc/.dcd) or in-memory Trajectory."""
+def open_lazy(source, n_atoms: int | None = None):
+    """A frame-range reader for a path (.nc/.dcd/.mdcrd) or in-memory
+    Trajectory. AMBER ASCII needs `n_atoms` (the format doesn't encode it)."""
     if isinstance(source, Trajectory):
         return _ArraySource(source)
     low = str(source).lower()
@@ -138,6 +139,12 @@ def open_lazy(source):
         return LazyNetCDF(source)
     if low.endswith(".dcd"):
         return LazyDCD(source)
+    if low.endswith((".mdcrd", ".crd")):
+        if n_atoms is None:
+            raise ValueError("streaming an AMBER ASCII trajectory needs n_atoms")
+        from waterorderlib_tpu.io.mdcrd import LazyMdcrd
+
+        return LazyMdcrd(source, n_atoms)
     if low.endswith(".npz"):
         # compressed archives cannot be partially decoded; load once and
         # chunk the in-memory array (still bounds DEVICE memory per chunk)
@@ -145,14 +152,14 @@ def open_lazy(source):
     raise ValueError(f"unsupported streaming source: {source}")
 
 
-def iter_chunks(source, chunk_frames: int, stride: int = 1):
+def iter_chunks(source, chunk_frames: int, stride: int = 1, n_atoms: int | None = None):
     """Yield (positions (C, N, 3) f32, boxes (C, 3) f32) chunks.
 
     One chunk of read-ahead runs on a prefetch thread, so decoding chunk
     k+1 overlaps device compute on chunk k (the PP-analog of SURVEY §2c:
     a host->device double-buffered input pipeline).
     """
-    rdr = open_lazy(source)
+    rdr = open_lazy(source, n_atoms=n_atoms)
     try:
         starts = list(range(0, rdr.n_frames, chunk_frames * stride))
         if not starts:

@@ -108,9 +108,12 @@ def load_topology(top_file: str) -> Topology:
     raise ValueError(f"unsupported topology format: {top_file}")
 
 
-def load_trajectory(traj_file: str, stride: int = 1) -> Trajectory:
-    """Load a trajectory by extension: .npz (ours), .dcd, or AMBER NetCDF
-    .nc/.ncdf/.netcdf (TrajObject.py:33 reads these via pytraj iterload)."""
+def load_trajectory(traj_file: str, stride: int = 1, n_atoms: int | None = None) -> Trajectory:
+    """Load a trajectory by extension: .npz (ours), .dcd, AMBER NetCDF
+    .nc/.ncdf/.netcdf, or AMBER ASCII .mdcrd/.crd (TrajObject.py:33 reads
+    the AMBER formats via pytraj iterload). ASCII mdcrd does not encode the
+    atom count, so it requires `n_atoms` (load_system passes it from the
+    topology)."""
     low = traj_file.lower()
     if low.endswith(".npz"):
         return Trajectory.load(traj_file, stride=stride)
@@ -122,6 +125,15 @@ def load_trajectory(traj_file: str, stride: int = 1) -> Trajectory:
         from waterorderlib_tpu.io.netcdf import read_amber_netcdf
 
         return read_amber_netcdf(traj_file, stride=stride)
+    if low.endswith((".mdcrd", ".crd")):
+        if n_atoms is None:
+            raise ValueError(
+                "AMBER ASCII trajectories need n_atoms (use load_system, "
+                "which passes it from the topology)"
+            )
+        from waterorderlib_tpu.io.mdcrd import read_mdcrd
+
+        return read_mdcrd(traj_file, n_atoms, stride=stride)
     raise ValueError(f"unsupported trajectory format: {traj_file}")
 
 
@@ -129,8 +141,12 @@ def load_system(top_file: str, traj_file: str | None, stride: int = 1):
     """One-call loader mirroring TrajObject(topFile, trajFile, stride).
 
     top_file: .json / .npz (embedded) / AMBER .prmtop/.parm7/.top.
-    traj_file: .npz / .dcd / AMBER NetCDF .nc (or None for topology-only use).
+    traj_file: .npz / .dcd / AMBER NetCDF .nc / AMBER ASCII .mdcrd/.crd
+    (or None for topology-only use).
     """
     top = load_topology(top_file)
-    traj = load_trajectory(traj_file, stride=stride) if traj_file else None
+    traj = (
+        load_trajectory(traj_file, stride=stride, n_atoms=top.n_atoms)
+        if traj_file else None
+    )
     return top, traj
