@@ -286,7 +286,7 @@ def _three_body_core(
             bz = float(boxes[0, 2])
             ang, cnt, covered = angles_kernel.neighbor_pair_angles_traj(
                 wat_pos, boxes, low_cut, high_cut,
-                window=suggest_window(nw, bz, margin=4.5, row_tile=256),
+                window=suggest_window(nw, bz, margin=4.5, row_tile=128),
                 pad=suggest_pad(nw, bz, 4.5 + 2.0),
             )
         except Exception:

@@ -138,7 +138,7 @@ def neighbor_pair_angles_traj(
     low_cut: float = 0.0,
     high_cut: float = 3.413,
     margin: float = 4.5,
-    row_tile: int = 256,
+    row_tile: int = 128,
     window: int = 1536,
     pad: int = 512,
     unsort: bool = True,
