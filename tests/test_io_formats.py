@@ -107,6 +107,55 @@ def test_mdcrd_roundtrip(tmp_path):
     rdr.close()
 
 
+def test_mdcrd_native_decoder(tmp_path):
+    """The C++ fixed-width decoder (native/mdcrdlib.cc) must be bit-identical
+    to the numpy S8->astype path, and unparseable fields must fall back."""
+    import pytest
+
+    from waterorderlib_tpu.io import mdcrd
+    from waterorderlib_tpu.io.trajectory import Trajectory
+
+    if mdcrd._native() is None:
+        pytest.skip("native/libmdcrd.so not built")
+
+    # wide value range incl. negatives that abut the previous field
+    rs = np.random.RandomState(3)
+    n = 23  # 69 values/frame: lines of 10 fields + a short final line
+    traj = Trajectory(
+        (rs.random((4, n, 3)) * 2000 - 1000).astype(np.float32),
+        np.tile(np.float32([17.5, 9999.999, 0.001]), (4, 1)),
+    )
+    p = str(tmp_path / "t.mdcrd")
+    mdcrd.write_mdcrd(p, traj)
+
+    native = mdcrd.read_mdcrd(p, n)
+    try:
+        mdcrd._NATIVE = False  # force the numpy path
+        ref = mdcrd.read_mdcrd(p, n)
+    finally:
+        mdcrd._NATIVE = None
+    np.testing.assert_array_equal(native.positions, ref.positions)
+    np.testing.assert_array_equal(native.boxes, ref.boxes)
+
+    # lazy range reads decode through the same fast path
+    rdr = mdcrd.LazyMdcrd(p, n)
+    pos, boxes = rdr.read(1, 2)
+    np.testing.assert_array_equal(pos, ref.positions[1:3])
+    rdr.close()
+
+    # a field the fast path rejects (scientific notation) falls back to the
+    # numpy path, which parses it fine
+    vals = [1.5, -2.25] * 3
+    body = "".join(f"{v:8.3f}" for v in vals[:-1]) + "   2.5E0"
+    psci = tmp_path / "sci.mdcrd"
+    psci.write_text("title\n" + body + "\n")
+    t = mdcrd.read_mdcrd(str(psci), 2, has_box=False)
+    assert t.n_frames == 1
+    np.testing.assert_allclose(
+        t.positions.reshape(-1), vals[:-1] + [2.5], atol=0
+    )
+
+
 def test_mdcrd_front_door(tmp_path):
     """load_system routes .mdcrd (atom count from the topology) and the
     chunked driver path streams it."""

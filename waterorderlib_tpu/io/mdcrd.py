@@ -18,9 +18,58 @@ pipeline (io/streaming.py).
 
 from __future__ import annotations
 
+import ctypes
+import os
+
 import numpy as np
 
 from waterorderlib_tpu.io.trajectory import Trajectory
+
+_NATIVE = None
+
+
+def _native():
+    """ctypes handle to the native fixed-width decoder (native/mdcrdlib.cc),
+    or None when the library isn't built. The native parse is bit-identical
+    to the numpy path for fixed-point F8.3 fields and ~20x faster; any field
+    it can't prove exact makes it return <0 and we fall back."""
+    global _NATIVE
+    if _NATIVE is None:
+        so = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "native", "libmdcrd.so",
+        )
+        if os.path.exists(so):
+            lib = ctypes.CDLL(so)
+            lib.f8_decode.restype = ctypes.c_long
+            lib.f8_decode.argtypes = [
+                ctypes.c_char_p,  # raw body bytes (newlines ok, title excluded)
+                ctypes.c_long,  # byte count
+                ctypes.c_void_p,  # float32 out buffer
+                ctypes.c_long,  # capacity in floats
+            ]
+            _NATIVE = lib
+        else:
+            _NATIVE = False
+    return _NATIVE or None
+
+
+def _decode_fields(raw: bytes, path: str) -> np.ndarray:
+    """Decode a byte stream of 8-char fixed-width fields (newlines allowed)
+    into float32 values — native fast path with numpy fallback."""
+    lib = _native()
+    if lib is not None:
+        cap = len(raw) // 8  # >= true field count (newlines only shrink it)
+        out = np.empty(cap, np.float32)
+        n = lib.f8_decode(raw, len(raw), out.ctypes.data_as(ctypes.c_void_p), cap)
+        if n >= 0:
+            return out[:n].copy()
+        # negative: unparseable field (stars/scientific) or ragged layout —
+        # fall through to the permissive numpy path
+    body = raw.replace(b"\r", b"").replace(b"\n", b"")
+    if len(body) % 8:
+        raise ValueError(f"{path}: body length {len(body)} is not 8-char aligned")
+    return np.frombuffer(body, dtype="S8").astype(np.float32)
 
 
 def _frame_layout(n_atoms: int, has_box: bool) -> tuple[int, int]:
@@ -68,10 +117,7 @@ def read_mdcrd(
     with open(path, "rb") as fh:
         raw = fh.read()
     nl = raw.index(b"\n")
-    body = raw[nl + 1 :].replace(b"\r", b"").replace(b"\n", b"")
-    if len(body) % 8:
-        raise ValueError(f"{path}: body length {len(body)} is not 8-char aligned")
-    vals = np.frombuffer(body, dtype="S8").astype(np.float32)
+    vals = _decode_fields(raw[nl + 1 :], path)
     box = _detect_box(len(vals), n_atoms, has_box)
     per = 3 * n_atoms + (3 if box else 0)
     if len(vals) % per:
@@ -144,8 +190,7 @@ class LazyMdcrd:
         count = max(0, min(count, self.n_frames - start))
         self._fh.seek(self._offset + start * self._nbytes)
         raw = self._fh.read(count * self._nbytes)
-        body = raw.replace(b"\r", b"").replace(b"\n", b"")
-        vals = np.frombuffer(body, dtype="S8").astype(np.float32)
+        vals = _decode_fields(raw, "LazyMdcrd")
         frames = vals.reshape(count, self._nvals)
         pos = frames[:, : 3 * self.n_atoms].reshape(count, self.n_atoms, 3)
         if self.has_box:
