@@ -47,6 +47,34 @@ def test_sasa_two_touching_spheres_symmetry():
     assert a[0] < 4 * np.pi * 1.5**2  # partially occluded
 
 
+def test_sasa_topk_matches_brute():
+    """The occluder-pruned sweep must be bit-identical to the brute sweep
+    whenever its certificate holds, and sasa_per_atom must fall back to the
+    brute result when K is too small."""
+    from waterorderlib_tpu.core.geometry import sphere_points
+
+    top, traj = make_water_box(64, n_frames=1, seed=5, solute_elements=["C", "O"])
+    pos = jnp.asarray(traj.positions[0])
+    box = jnp.asarray(traj.boxes[0])
+    n = pos.shape[0]
+    rs = np.random.RandomState(2)
+    radii = jnp.asarray(1.2 + 1.4 + 0.6 * rs.random(n), jnp.float32)
+    pts = jnp.asarray(sphere_points(300), jnp.float32)
+
+    a_brute, e_brute = sasa.sphere_surface_areas(pos, radii, pts, box)
+    a_topk, e_topk, ok = sasa.sphere_surface_areas_topk(pos, radii, pts, box, k=128)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(a_topk), np.asarray(a_brute))
+    np.testing.assert_array_equal(np.asarray(e_topk), np.asarray(e_brute))
+
+    # k too small: certificate must fail on this dense box...
+    _, _, ok_small = sasa.sphere_surface_areas_topk(pos, radii, pts, box, k=4)
+    assert not bool(ok_small)
+    # ...and the public wrapper must still return the brute-exact answer
+    a_pub, e_pub = sasa.sasa_per_atom(pos, radii - 1.4, box=box, probe_radius=1.4, n_points=300)
+    np.testing.assert_array_equal(np.asarray(a_pub), np.asarray(a_brute))
+
+
 def test_sphere_volumes_partition():
     pos = jnp.array([[0.0, 0.0, 0.0], [10.0, 0.0, 0.0]])
     radii = jnp.array([1.0, 1.0])

@@ -21,6 +21,7 @@ import numpy as np
 
 from waterorderlib_tpu.core import pbc
 from waterorderlib_tpu.core.geometry import sphere_points
+from waterorderlib_tpu.ops import pairs
 
 
 @partial(jax.jit, static_argnames=("n_exp", "atom_block"))
@@ -75,6 +76,70 @@ def sphere_surface_areas(
     return areas.reshape(-1)[:n], exposed.reshape(-1)[:n]
 
 
+@partial(jax.jit, static_argnames=("n_exp", "k", "atom_block"))
+def sphere_surface_areas_topk(
+    pos: jnp.ndarray,
+    radii: jnp.ndarray,
+    points: jnp.ndarray,
+    box: jnp.ndarray,
+    n_exp: int = 10,
+    k: int = 128,
+    atom_block: int = 256,
+):
+    """Occluder-pruned `sphere_surface_areas`: a point on sphere i (radius
+    r_i) lies strictly inside sphere j only when |c_i - c_j| < r_i + r_j <=
+    2*max(radii), so only the K nearest candidates within that cutoff are
+    tested per atom — O(N*P*K) instead of O(N*P*N), a ~N/K speedup on dense
+    systems.
+
+    Returns (areas, exposed, ok): `ok` certifies exactness — True iff every
+    atom had at most K in-range candidates (callers fall back to the brute
+    sweep when False). One deliberate edge: an occluder at *exactly* zero
+    distance from the center (a coincident atom, impossible in physical
+    configurations) is excluded here but included by the brute path.
+    """
+    n = pos.shape[0]
+    p = points.shape[0]
+    cutoff = 2.0 * jnp.max(radii)
+    nl = pairs.topk_neighbors(
+        pos, pos, box, k=k, low_cut=0.0, high_cut=cutoff, row_block=atom_block
+    )
+    ok = jnp.all(nl.count <= k)
+    # occluder coordinates reimaged around each center (ref :125-128)
+    occ = pos[:, None, :] + pbc.minimum_image(pos[nl.idx] - pos[:, None, :], box)
+    occ_rsq = (radii * radii)[nl.idx]
+
+    def one_block(args):
+        blk_pos, blk_rad, blk_occ, blk_orsq, blk_val = args
+        pts = blk_pos[:, None, :] + blk_rad[:, None, None] * points[None, :, :]  # (B,P,3)
+        d2 = jnp.sum((pts[:, :, None, :] - blk_occ[:, None, :, :]) ** 2, axis=-1)  # (B,P,K)
+        occluded = (d2 < blk_orsq[:, None, :]) & blk_val[:, None, :]
+        visible = ~jnp.any(occluded, axis=-1)
+        n_vis = jnp.sum(visible, axis=-1)
+        return 4.0 * jnp.pi * blk_rad**2 * n_vis / p, n_vis >= n_exp
+
+    block = min(atom_block, max(1, n))
+    pad = (-n) % block
+
+    def padded(x, fill=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]
+        ) if pad else x
+
+    shape = (-1, block)
+    areas, exposed = jax.lax.map(
+        one_block,
+        (
+            padded(pos).reshape(shape + (3,)),
+            padded(radii, 1.0).reshape(shape),
+            padded(occ).reshape(shape + (k, 3)),
+            padded(occ_rsq).reshape(shape + (k,)),
+            padded(nl.valid.astype(bool)).reshape(shape + (k,)),
+        ),
+    )
+    return areas.reshape(-1)[:n], exposed.reshape(-1)[:n], ok
+
+
 def sasa_per_atom(
     pos,
     radii,
@@ -85,13 +150,22 @@ def sasa_per_atom(
 ):
     """SASA per atom + surface flags (water_properties.py:59-74): golden
     spiral points on spheres of radius (vdW + probe). box=None disables PBC
-    (the reference wrapper passes no box)."""
+    (the reference wrapper passes no box).
+
+    Dispatch: the occluder-pruned O(N*P*K) sweep runs first; if its
+    exactness certificate fails (more than K candidate occluders on some
+    atom) the brute O(N*P*N) sweep recomputes — same results, just slower.
+    """
     pts = jnp.asarray(sphere_points(n_points), jnp.float32)
     if box is None:
         box = jnp.array([-1.0, -1.0, -1.0], jnp.float32)
-    return sphere_surface_areas(
-        jnp.asarray(pos), jnp.asarray(radii) + probe_radius, pts, jnp.asarray(box), n_expose
-    )
+    pos = jnp.asarray(pos)
+    rad = jnp.asarray(radii) + probe_radius
+    box = jnp.asarray(box)
+    areas, exposed, ok = sphere_surface_areas_topk(pos, rad, pts, box, n_expose)
+    if bool(ok):
+        return areas, exposed
+    return sphere_surface_areas(pos, rad, pts, box, n_expose)
 
 
 @partial(jax.jit, static_argnames=("n_points",))
