@@ -280,6 +280,33 @@ def breakdown():
         out["willard_ms"] = round(sec * 1e3, 2)
     except Exception as e:
         out["willard_ms"] = f"failed: {type(e).__name__}"
+
+    # SASA (occluder-pruned point occlusion, 4096 atoms x 1000 points)
+    try:
+        from waterorderlib_tpu.core.geometry import sphere_points
+        from waterorderlib_tpu.surface import sasa
+
+        pts = jnp.asarray(sphere_points(1000), jnp.float32)
+        radii = jnp.full((N_WATERS,), 2.9, jnp.float32)  # vdW 1.5 + probe 1.4
+        Fs = 4
+        poss = jax.device_put(pos[:Fs])
+        boxess = jax.device_put(boxes[:Fs])
+
+        @jax.jit
+        def sasa_fn(p, b):
+            def one(carry, frame):
+                areas, _, ok = sasa.sphere_surface_areas_topk(
+                    frame[0], radii, pts, frame[1]
+                )
+                return carry, (jnp.sum(areas), ok)
+
+            _, res = jax.lax.scan(one, 0.0, (p, b))
+            return res
+
+        sec, _ = _time_batch(sasa_fn, poss, boxess, Fs, iters=3)
+        out["sasa_ms"] = round(sec * 1e3, 2)
+    except Exception as e:
+        out["sasa_ms"] = f"failed: {type(e).__name__}"
     return out
 
 

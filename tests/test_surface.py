@@ -108,6 +108,49 @@ def test_voronoi_contacts_lattice():
     np.testing.assert_allclose(atom_vol[0], s**3, rtol=1e-6)
 
 
+def test_voronoi_closed_form_matches_hulls():
+    """The vectorized pyramid-decomposition volumes/areas/contacts must agree
+    with reference-style per-region ConvexHull('QJ') evaluation to the hull
+    joggle noise on a random (non-lattice) box."""
+    from scipy.spatial import ConvexHull, Voronoi
+
+    top, traj = make_water_box(64, n_frames=1, seed=9)
+    pos = traj.positions[0].astype(float)
+    box_l = float(traj.boxes[0][0])
+    num = len(pos)
+
+    vol_f, area_f = voronoi.voronoi_volumes(pos, box_l, num)
+    c_f, aa_f, wa_f, av_f = voronoi.voronoi_contacts(pos, box_l, num)
+
+    v = Voronoi(voronoi.mirror_points(pos, box_l))
+    regions = [np.array(v.regions[v.point_region[i]]) for i in range(num)]
+    vol_h = np.zeros(num)
+    area_h = np.zeros(num)
+    c_h = np.zeros((num, num))
+    for i in range(num):
+        h = ConvexHull(v.vertices[regions[i]], qhull_options="QJ")
+        vol_h[i] = h.volume
+        area_h[i] = h.area
+        for j in range(i + 1, num):
+            co = np.intersect1d(regions[i], regions[j])
+            if len(co) >= 3:
+                if len(co) >= 4:
+                    fa = ConvexHull(v.vertices[co], qhull_options="QJ").area
+                else:
+                    a, b, c = v.vertices[co]
+                    fa = 0.5 * float(np.linalg.norm(np.cross(b - a, c - a)))
+                c_h[i, j] = c_h[j, i] = fa
+    np.testing.assert_allclose(vol_f, vol_h, rtol=1e-7)
+    np.testing.assert_allclose(area_f, area_h, rtol=1e-7)
+    np.testing.assert_allclose(av_f[0], vol_h, rtol=1e-7)
+    np.testing.assert_allclose(aa_f[0], area_h, rtol=1e-7)
+    nz = c_h > 0
+    assert np.array_equal(c_f > 0, nz)
+    np.testing.assert_allclose(c_f[nz], c_h[nz], rtol=1e-6)
+    # total cell volume of a certified tessellation tiles the box
+    np.testing.assert_allclose(vol_f.sum(), box_l**3, rtol=1e-9)
+
+
 def test_marching_tetrahedra_sphere():
     # field = distance from center; isosurface at r=5 is a sphere
     n = 24
