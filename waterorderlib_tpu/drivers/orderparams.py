@@ -280,13 +280,16 @@ def _three_body_core(
     if use_pallas:
         try:
             from waterorderlib_tpu.ops.pallas import angles_kernel
-            from waterorderlib_tpu.ops.pallas.slab import suggest_pad
+            from waterorderlib_tpu.ops.pallas.slab import fits_scoped_vmem, suggest_pad
             from waterorderlib_tpu.ops.pallas.qtet2 import suggest_window
 
             bz = float(boxes[0, 2])
+            window = suggest_window(nw, bz, margin=4.5, row_tile=128)
+            if not fits_scoped_vmem(128, window, angles_kernel.K):
+                raise MemoryError("slab kernel would exceed scoped VMEM")
             ang, cnt, covered = angles_kernel.neighbor_pair_angles_traj(
                 wat_pos, boxes, low_cut, high_cut,
-                window=suggest_window(nw, bz, margin=4.5, row_tile=128),
+                window=window,
                 pad=suggest_pad(nw, bz, 4.5 + 2.0),
             )
         except Exception:
@@ -559,14 +562,17 @@ def _lsi_core(wat_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block
     if use_pallas:
         try:
             from waterorderlib_tpu.ops.pallas import lsi_kernel
-            from waterorderlib_tpu.ops.pallas.slab import suggest_pad
+            from waterorderlib_tpu.ops.pallas.slab import fits_scoped_vmem, suggest_pad
             from waterorderlib_tpu.ops.pallas.qtet2 import suggest_window
 
             bz = float(boxes[0, 2])
             mg = high_cut + 3.7
+            window = suggest_window(nw, bz, margin=mg, row_tile=128)
+            if not fits_scoped_vmem(128, window, 24):
+                raise MemoryError("slab kernel would exceed scoped VMEM")
             lsi_v, lsi_ok, _, covered = lsi_kernel.lsi_traj(
                 wat_pos, boxes, low_cut, high_cut,
-                window=suggest_window(nw, bz, margin=mg, row_tile=128),
+                window=window,
                 pad=suggest_pad(nw, bz, mg + 2.0),
             )
         except Exception:
@@ -726,13 +732,16 @@ def hex_order_calc(
     if use_pallas:
         try:
             from waterorderlib_tpu.ops.pallas import psi6_kernel
-            from waterorderlib_tpu.ops.pallas.slab import suggest_pad
+            from waterorderlib_tpu.ops.pallas.slab import fits_scoped_vmem, suggest_pad
             from waterorderlib_tpu.ops.pallas.qtet2 import suggest_window
 
             bz = float(boxes[0, 2])
+            window = suggest_window(ne, bz, margin=high_cut, row_tile=128)
+            if not fits_scoped_vmem(128, window, 24):
+                raise MemoryError("slab kernel would exceed scoped VMEM")
             psi_v, _, covered = psi6_kernel.psi6_traj(
                 end_pos, boxes, low_cut, high_cut,
-                window=suggest_window(ne, bz, margin=high_cut, row_tile=128),
+                window=window,
                 pad=suggest_pad(ne, bz, high_cut + 2.0),
             )
         except Exception:

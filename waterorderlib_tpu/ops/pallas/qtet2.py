@@ -259,18 +259,19 @@ def order_param_q_certified(
     n = pos.shape[1]
     box_z = float(boxes[0, 2])
     window = suggest_window(n, box_z, margin=margin, row_tile=row_tile)
-    # scoped-VMEM guard: the kernel's stack peaks at ~3.3x the (rt, window)
-    # f32 scratch (dsq + unrolled extraction temps, measured at 65k atoms);
-    # halve the row tile until it fits the 16 MB scoped limit so large
-    # systems stay on the certified slab path instead of OOMing to XLA
-    while row_tile > 128 and row_tile * window * 4 * 3.3 > 15.5e6:
+    # scoped-VMEM guard (slab.fits_scoped_vmem): halve the row tile until
+    # the kernel stack fits the 16 MB scoped limit so large systems stay on
+    # the certified slab path instead of OOMing to XLA
+    from waterorderlib_tpu.ops.pallas.slab import fits_scoped_vmem
+
+    while row_tile > 128 and not fits_scoped_vmem(row_tile, window, 4):
         row_tile //= 2
         window = suggest_window(n, box_z, margin=margin, row_tile=row_tile)
     # pad must span at least the drift-inflated margin in z (the covered
     # certificate verifies; this sizes it adaptively instead of fixed 512)
     pad = suggest_pad(n, box_z, margin + 2.0)
-    fits_vmem = row_tile * window * 4 * 3.3 <= 15.5e6
-    if window < n and fits_vmem:  # pruning pays off: try the certified slab kernel
+    if window < n and fits_scoped_vmem(row_tile, window, 4):
+        # pruning pays off: try the certified slab kernel
         q, ok, cov = order_param_q_traj(
             pos, boxes, low_cut, high_cut, margin=margin,
             row_tile=row_tile, window=window, pad=pad,

@@ -89,6 +89,20 @@ def slab_prep_traj(
     return SlabPrep(ext_t, starts_f, covered, order0, w, n_tiles)
 
 
+def fits_scoped_vmem(
+    row_tile: int, window: int, unroll_k: int, limit: int = 15_500_000
+) -> bool:
+    """Predict whether a slab kernel's scoped-VMEM stack fits the TPU's
+    16 MB limit, so dispatchers can skip a doomed ~30 s compile and fall
+    straight to the XLA path at extreme system sizes.
+
+    Empirical model: Mosaic's stack peaks at ~(2 + 0.32*K) x the
+    (row_tile, window) f32 scratch for a K-round unrolled min-extraction
+    (measured: q kernel K=4 -> 3.2x at 65k atoms; LSI K=24 -> ~9.5x, the
+    20 MB/256-row datapoint in PERF.md)."""
+    return row_tile * window * 4 * (2.0 + 0.32 * unroll_k) <= limit
+
+
 def suggest_pad(n: int, box_z: float, depth: float, safety: float = 1.6) -> int:
     """Boundary-copy count (multiple of 128, capped at n) whose z extent is
     expected to exceed `depth` (the drift-inflated margin). The `covered`
