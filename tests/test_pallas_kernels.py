@@ -409,3 +409,31 @@ def test_qtet2_certified_16k_with_straggler_patch():
     for t in range(f):
         want = np.asarray(qtet.order_param_q(pos[t], pos[t], boxes[t], 0.0, 10.0, row_block=512))
         np.testing.assert_allclose(q[t], want, atol=2e-5)
+
+
+@needs_tpu
+def test_qtet_chunked_bit_matches_monolithic():
+    """The window-chunked carry kernel (qtet_chunked.py) must be bit-equal
+    to the monolithic slab kernel for the same window, across 1-segment and
+    multi-segment configurations."""
+    from waterorderlib_tpu.ops.pallas import qtet2, qtet_chunked
+    from waterorderlib_tpu.ops.pallas.slab import suggest_pad
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n, f = 4096, 2
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    rs = np.random.RandomState(11)
+    base = water_oxygen_lattice(n, box_len, seed=11)
+    pos = jnp.asarray(
+        np.stack([np.mod(base + rs.normal(scale=0.1, size=base.shape), box_len)
+                  for _ in range(f)]), jnp.float32)
+    boxes = jnp.asarray(np.tile(np.array([box_len] * 3, np.float32), (f, 1)))
+    pad = suggest_pad(n, box_len, 6.5)
+    for window in (1536, 3072):  # 1 and 2 segments at seg=1536
+        q2, ok2, cov2 = qtet2.order_param_q_traj(
+            pos, boxes, 0.0, 10.0, row_tile=128, window=window, pad=pad)
+        qc, okc, covc = qtet_chunked.order_param_q_traj_chunked(
+            pos, boxes, 0.0, 10.0, row_tile=128, window=window, pad=pad, seg=1536)
+        assert bool(np.asarray(cov2).all()) and bool(np.asarray(covc).all())
+        np.testing.assert_array_equal(np.asarray(q2), np.asarray(qc))
+        np.testing.assert_array_equal(np.asarray(ok2), np.asarray(okc))

@@ -270,12 +270,24 @@ def order_param_q_certified(
     # pad must span at least the drift-inflated margin in z (the covered
     # certificate verifies; this sizes it adaptively instead of fixed 512)
     pad = suggest_pad(n, box_z, margin + 2.0)
-    if window < n and fits_scoped_vmem(row_tile, window, 4):
-        # pruning pays off: try the certified slab kernel
-        q, ok, cov = order_param_q_traj(
-            pos, boxes, low_cut, high_cut, margin=margin,
-            row_tile=row_tile, window=window, pad=pad,
-        )
+    if window < n:
+        # pruning pays off: certified slab kernel — monolithic when its
+        # scratch fits VMEM, otherwise the window-chunked carry variant
+        # (qtet_chunked.py, bit-identical results) for 100k+ systems
+        if fits_scoped_vmem(row_tile, window, 4):
+            q, ok, cov = order_param_q_traj(
+                pos, boxes, low_cut, high_cut, margin=margin,
+                row_tile=row_tile, window=window, pad=pad,
+            )
+        else:
+            from waterorderlib_tpu.ops.pallas.qtet_chunked import (
+                order_param_q_traj_chunked,
+            )
+
+            q, ok, cov = order_param_q_traj_chunked(
+                pos, boxes, low_cut, high_cut, margin=margin,
+                row_tile=128, window=window, pad=pad,
+            )
         if bool(np.asarray(cov).all()):
             ok_np = np.asarray(ok)
             if ok_np.all():
