@@ -437,3 +437,69 @@ def test_qtet_chunked_bit_matches_monolithic():
         assert bool(np.asarray(cov2).all()) and bool(np.asarray(covc).all())
         np.testing.assert_array_equal(np.asarray(q2), np.asarray(qc))
         np.testing.assert_array_equal(np.asarray(ok2), np.asarray(okc))
+
+
+@needs_tpu
+def test_angles_chunked_bit_matches_monolithic():
+    """The window-chunked 3-body kernel must be bit-equal to the monolithic
+    angles kernel for the same window (1- and 2-segment configurations)."""
+    from waterorderlib_tpu.ops.pallas import angles_kernel, angles_chunked
+    from waterorderlib_tpu.ops.pallas.slab import suggest_pad
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n, f = 4096, 2
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    rs = np.random.RandomState(13)
+    base = water_oxygen_lattice(n, box_len, seed=13)
+    pos = jnp.asarray(
+        np.stack([np.mod(base + rs.normal(scale=0.1, size=base.shape), box_len)
+                  for _ in range(f)]), jnp.float32)
+    boxes = jnp.asarray(np.tile(np.array([box_len] * 3, np.float32), (f, 1)))
+    pad = suggest_pad(n, box_len, 6.5)
+    for window in (1536, 3072):
+        a1, c1, v1 = angles_kernel.neighbor_pair_angles_traj(
+            pos, boxes, 0.0, 3.413, window=window, pad=pad, row_tile=128)
+        a2, c2, v2 = angles_chunked.neighbor_pair_angles_traj_chunked(
+            pos, boxes, 0.0, 3.413, window=window, pad=pad, seg=1536, row_tile=128)
+        assert bool(np.asarray(v1).all()) and bool(np.asarray(v2).all())
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+@needs_tpu
+def test_lsi_psi6_chunked_bit_match_monolithic():
+    """The window-chunked LSI and psi6 kernels must be bit-equal to their
+    monolithic counterparts for the same window (2-segment configuration)."""
+    from waterorderlib_tpu.ops.pallas import (
+        lsi_chunked, lsi_kernel, psi6_chunked, psi6_kernel,
+    )
+    from waterorderlib_tpu.ops.pallas.slab import suggest_pad
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n, f = 4096, 2
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    rs = np.random.RandomState(17)
+    base = water_oxygen_lattice(n, box_len, seed=17)
+    pos = jnp.asarray(
+        np.stack([np.mod(base + rs.normal(scale=0.1, size=base.shape), box_len)
+                  for _ in range(f)]), jnp.float32)
+    boxes = jnp.asarray(np.tile(np.array([box_len] * 3, np.float32), (f, 1)))
+
+    pad = suggest_pad(n, box_len, 9.4)
+    v1, ok1, c1, cov1 = lsi_kernel.lsi_traj(
+        pos, boxes, 0.0, 3.7, window=3072, pad=pad, row_tile=128)
+    v2, ok2, c2, cov2 = lsi_chunked.lsi_traj_chunked(
+        pos, boxes, 0.0, 3.7, window=3072, pad=pad, seg=1536, row_tile=128)
+    assert bool(np.asarray(cov1).all()) and bool(np.asarray(cov2).all())
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+    pad = suggest_pad(n, box_len, 9.0)
+    p1, pc1, pv1 = psi6_kernel.psi6_traj(
+        pos, boxes, 0.0, 7.0, window=3072, pad=pad, row_tile=128)
+    p2, pc2, pv2 = psi6_chunked.psi6_traj_chunked(
+        pos, boxes, 0.0, 7.0, window=3072, pad=pad, seg=1536, row_tile=128)
+    assert bool(np.asarray(pv1).all()) and bool(np.asarray(pv2).all())
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(pc1), np.asarray(pc2))

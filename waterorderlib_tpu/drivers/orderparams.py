@@ -285,13 +285,18 @@ def _three_body_core(
 
             bz = float(boxes[0, 2])
             window = suggest_window(nw, bz, margin=4.5, row_tile=128)
-            if not fits_scoped_vmem(128, window, angles_kernel.K):
-                raise MemoryError("slab kernel would exceed scoped VMEM")
-            ang, cnt, covered = angles_kernel.neighbor_pair_angles_traj(
-                wat_pos, boxes, low_cut, high_cut,
-                window=window,
-                pad=suggest_pad(nw, bz, 4.5 + 2.0),
-            )
+            pad = suggest_pad(nw, bz, 4.5 + 2.0)
+            if fits_scoped_vmem(128, window, angles_kernel.K):
+                ang, cnt, covered = angles_kernel.neighbor_pair_angles_traj(
+                    wat_pos, boxes, low_cut, high_cut, window=window, pad=pad,
+                )
+            else:
+                # 100k+ atoms: window-chunked carry variant (bit-identical)
+                from waterorderlib_tpu.ops.pallas import angles_chunked
+
+                ang, cnt, covered = angles_chunked.neighbor_pair_angles_traj_chunked(
+                    wat_pos, boxes, low_cut, high_cut, window=window, pad=pad,
+                )
         except Exception:
             covered = np.zeros(1, bool)  # VMEM etc: fall through to XLA
         if bool(np.asarray(covered).all()):
@@ -568,13 +573,18 @@ def _lsi_core(wat_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block
             bz = float(boxes[0, 2])
             mg = high_cut + 3.7
             window = suggest_window(nw, bz, margin=mg, row_tile=128)
-            if not fits_scoped_vmem(128, window, 24):
-                raise MemoryError("slab kernel would exceed scoped VMEM")
-            lsi_v, lsi_ok, _, covered = lsi_kernel.lsi_traj(
-                wat_pos, boxes, low_cut, high_cut,
-                window=window,
-                pad=suggest_pad(nw, bz, mg + 2.0),
-            )
+            pad = suggest_pad(nw, bz, mg + 2.0)
+            if fits_scoped_vmem(128, window, 24):
+                lsi_v, lsi_ok, _, covered = lsi_kernel.lsi_traj(
+                    wat_pos, boxes, low_cut, high_cut, window=window, pad=pad,
+                )
+            else:
+                # 100k+ atoms: window-chunked carry variant (bit-identical)
+                from waterorderlib_tpu.ops.pallas import lsi_chunked
+
+                lsi_v, lsi_ok, _, covered = lsi_chunked.lsi_traj_chunked(
+                    wat_pos, boxes, low_cut, high_cut, window=window, pad=pad,
+                )
         except Exception:
             covered = np.zeros(1, bool)  # VMEM etc: fall through to XLA
         if bool(np.asarray(covered).all()):
@@ -737,13 +747,18 @@ def hex_order_calc(
 
             bz = float(boxes[0, 2])
             window = suggest_window(ne, bz, margin=high_cut, row_tile=128)
-            if not fits_scoped_vmem(128, window, 24):
-                raise MemoryError("slab kernel would exceed scoped VMEM")
-            psi_v, _, covered = psi6_kernel.psi6_traj(
-                end_pos, boxes, low_cut, high_cut,
-                window=window,
-                pad=suggest_pad(ne, bz, high_cut + 2.0),
-            )
+            pad = suggest_pad(ne, bz, high_cut + 2.0)
+            if fits_scoped_vmem(128, window, 24):
+                psi_v, _, covered = psi6_kernel.psi6_traj(
+                    end_pos, boxes, low_cut, high_cut, window=window, pad=pad,
+                )
+            else:
+                # 100k+ atoms: window-chunked carry variant (bit-identical)
+                from waterorderlib_tpu.ops.pallas import psi6_chunked
+
+                psi_v, _, covered = psi6_chunked.psi6_traj_chunked(
+                    end_pos, boxes, low_cut, high_cut, window=window, pad=pad,
+                )
         except Exception:
             covered = np.zeros(1, bool)  # VMEM etc: fall through to XLA
         if bool(np.asarray(covered).all()):

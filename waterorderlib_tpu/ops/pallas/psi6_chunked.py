@@ -1,0 +1,185 @@
+"""Window-chunked psi-6 kernel for huge systems.
+
+Carried-top-K extension (see qtet_chunked.py for the exactness argument) of
+the monolithic psi6 kernel (psi6_kernel.py; reference hot path
+`getOrderParamPsi` water_properties.py:393-433): segments of the z-slab
+window are scanned with a carried top-24 of in-shell neighbor distances and
+coordinates, and the shared `psi6_epilogue` evaluates
+| mean exp(6 i theta) | from the final carry. Bit-identical to the
+monolithic kernel for the same window; VMEM holds (row_tile, SEG).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from waterorderlib_tpu.ops.pallas.psi6_kernel import K, psi6_epilogue
+from waterorderlib_tpu.ops.pallas.slab import slab_prep_traj, unsort_frames
+
+
+def _make_kernel(pad: int, seg: int, n_seg: int):
+    def kernel(scalars_ref, boxes_ref, starts_ref, ext_t_ref, psi_ref, cnt_ref, dsq_ref):
+        f = pl.program_id(0)
+        i = pl.program_id(1)
+        r = cnt_ref.shape[2]
+        low_sq = scalars_ref[1]
+        high_sq = scalars_ref[2]
+        bx, by, bz = boxes_ref[f, 0], boxes_ref[f, 1], boxes_ref[f, 2]
+
+        row0 = pad + i * r
+        start = starts_ref[i] * 128
+
+        def mi(d, box_l):
+            d = jnp.where(d > box_l * 0.5, d - box_l, d)
+            return jnp.where(d < -box_l * 0.5, d + box_l, d)
+
+        xr = ext_t_ref[0, 0, pl.ds(row0, r)].reshape(r, 1)
+        yr = ext_t_ref[0, 1, pl.ds(row0, r)].reshape(r, 1)
+        zr = ext_t_ref[0, 2, pl.ds(row0, r)].reshape(r, 1)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (r, seg), 1)
+        col2k = jax.lax.broadcasted_iota(jnp.int32, (r, 2 * K), 1)
+
+        def segment(s, carry):
+            cd, cx, cy, cz, count = carry
+            seg_start = pl.multiple_of(start + s * seg, 128)
+            xs = ext_t_ref[0, 0, pl.ds(seg_start, seg)].reshape(1, seg)
+            ys = ext_t_ref[0, 1, pl.ds(seg_start, seg)].reshape(1, seg)
+            zs = ext_t_ref[0, 2, pl.ds(seg_start, seg)].reshape(1, seg)
+            dx = mi(xs - xr, bx)
+            dy = mi(ys - yr, by)
+            dz = mi(zs - zr, bz)
+            dsq = dx * dx + dy * dy + dz * dz
+            valid = (dsq > low_sq) & (dsq <= high_sq)
+            count = count + jnp.sum(valid.astype(jnp.float32), axis=1, keepdims=True)
+            dsq_ref[:] = jnp.where(valid, dsq, jnp.inf)
+
+            big = jnp.int32(seg)
+            nd, nx, ny, nz = [], [], [], []
+            for _ in range(K):
+                d = dsq_ref[:]
+                m = jnp.min(d, axis=1, keepdims=True)
+                eq = (d == m) & jnp.isfinite(d)
+                fc = jnp.min(jnp.where(eq, col, big), axis=1, keepdims=True)
+                first = eq & (col == fc)
+                wgt = first.astype(jnp.float32)
+                nd.append(jnp.where(jnp.isfinite(m), m, jnp.inf))
+                nx.append(jnp.sum(wgt * xs, axis=1, keepdims=True))
+                ny.append(jnp.sum(wgt * ys, axis=1, keepdims=True))
+                nz.append(jnp.sum(wgt * zs, axis=1, keepdims=True))
+                dsq_ref[:] = jnp.where(first, jnp.inf, d)
+
+            cand_d = jnp.concatenate([cd] + nd, axis=1)  # (r, 2K)
+            cand_x = jnp.concatenate([cx] + nx, axis=1)
+            cand_y = jnp.concatenate([cy] + ny, axis=1)
+            cand_z = jnp.concatenate([cz] + nz, axis=1)
+            big2k = jnp.int32(2 * K)
+            kd, kx, ky, kz = [], [], [], []
+            for _ in range(K):
+                m = jnp.min(cand_d, axis=1, keepdims=True)
+                eq = (cand_d == m) & jnp.isfinite(cand_d)
+                fc = jnp.min(jnp.where(eq, col2k, big2k), axis=1, keepdims=True)
+                first = eq & (col2k == fc)
+                wgt = first.astype(jnp.float32)
+                kd.append(jnp.where(jnp.isfinite(m), m, jnp.inf))
+                kx.append(jnp.sum(wgt * cand_x, axis=1, keepdims=True))
+                ky.append(jnp.sum(wgt * cand_y, axis=1, keepdims=True))
+                kz.append(jnp.sum(wgt * cand_z, axis=1, keepdims=True))
+                cand_d = jnp.where(first, jnp.inf, cand_d)
+            return (
+                jnp.concatenate(kd, axis=1),
+                jnp.concatenate(kx, axis=1),
+                jnp.concatenate(ky, axis=1),
+                jnp.concatenate(kz, axis=1),
+                count,
+            )
+
+        init = (
+            jnp.full((r, K), jnp.inf, jnp.float32),
+            jnp.zeros((r, K), jnp.float32),
+            jnp.zeros((r, K), jnp.float32),
+            jnp.zeros((r, K), jnp.float32),
+            jnp.zeros((r, 1), jnp.float32),
+        )
+        cd, cx, cy, cz, count = jax.lax.fori_loop(0, n_seg, segment, init)
+
+        ux, uy, uz, oks = [], [], [], []
+        for k in range(K):
+            ok = jnp.isfinite(cd[:, k : k + 1])
+            vx = mi(cx[:, k : k + 1] - xr, bx)
+            vy = mi(cy[:, k : k + 1] - yr, by)
+            vz = mi(cz[:, k : k + 1] - zr, bz)
+            nrm = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+            inv = jnp.where(nrm > 0, 1.0 / jnp.where(nrm > 0, nrm, 1.0), 0.0)
+            ux.append(vx * inv)
+            uy.append(vy * inv)
+            uz.append(vz * inv)
+            oks.append(ok)
+
+        psi = psi6_epilogue(ux, uy, uz, oks, count, r)
+        psi_ref[0, pl.ds(i, 1), :] = psi.reshape(1, r)
+        cnt_ref[0, pl.ds(i, 1), :] = count.reshape(1, r)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("row_tile", "window", "pad", "seg", "unsort"))
+def psi6_traj_chunked(
+    pos: jnp.ndarray,
+    boxes: jnp.ndarray,
+    low_cut: float = 0.0,
+    high_cut: float = 7.0,
+    margin: float | None = None,
+    row_tile: int = 128,
+    window: int = 6144,
+    pad: int = 512,
+    seg: int = 1536,
+    unsort: bool = True,
+):
+    """Contract matches psi6_kernel.psi6_traj: returns (psi (F, N),
+    count (F, N), covered (F,))."""
+    if margin is None:
+        margin = high_cut
+    F, n = pos.shape[0], pos.shape[1]
+    window = -(-window // seg) * seg
+    prep = slab_prep_traj(pos, boxes, margin, row_tile, window, pad)
+    scalars = jnp.stack(
+        [jnp.float32(n), jnp.asarray(low_cut * low_cut, jnp.float32),
+         jnp.asarray(high_cut * high_cut, jnp.float32)]
+    )
+    n_seg = window // seg
+    out_spec = pl.BlockSpec(
+        (1, prep.n_tiles, row_tile), lambda f, i, s1, s2, s3: (f, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    psi, cnt = pl.pallas_call(
+        _make_kernel(pad, seg, n_seg),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(F, prep.n_tiles),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 3, prep.ext_t.shape[2]), lambda f, i, s1, s2, s3: (f, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=(out_spec, out_spec),
+            scratch_shapes=[pltpu.VMEM((row_tile, seg), jnp.float32)],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((F, prep.n_tiles, row_tile), jnp.float32),
+            jax.ShapeDtypeStruct((F, prep.n_tiles, row_tile), jnp.float32),
+        ),
+    )(scalars, boxes.astype(jnp.float32), prep.starts, prep.ext_t)
+
+    psi = psi.reshape(F, -1)[:, :n]
+    cnt = cnt.reshape(F, -1)[:, :n]
+    if unsort:
+        psi = unsort_frames(psi, prep.order0)
+        cnt = unsort_frames(cnt, prep.order0)
+    return psi, cnt, prep.covered

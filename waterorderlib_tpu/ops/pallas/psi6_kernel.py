@@ -92,42 +92,50 @@ def _make_kernel(pad: int):
             oks.append(ok)
             dsq_ref[:] = jnp.where(first, jnp.inf, d)
 
-        # pack the per-slot (r, 1) vectors into (r, K) matrices: narrow
-        # columns pad to full 128-lane vregs, so hundreds of separate (r, 1)
-        # temporaries would blow the scoped-VMEM stack; packed, each pair
-        # batch is one lane-vectorized op
-        UX = jnp.concatenate(ux, axis=1)  # (r, K)
-        UY = jnp.concatenate(uy, axis=1)
-        UZ = jnp.concatenate(uz, axis=1)
-        # cast each (r, 1) bool before concatenating (concat-then-cast hits
-        # an invalid i1->i32 vreg bitcast in Mosaic)
-        okf = [jnp.where(o, 1.0, 0.0) for o in oks]
-        OK = jnp.concatenate(okf, axis=1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-
-        re = jnp.zeros((r, 1), jnp.float32)
-        im = jnp.zeros((r, 1), jnp.float32)
-        npair = jnp.zeros((r, 1), jnp.float32)
-        for b in range(1, K):
-            # all pairs (a, b) with a < b at once along lanes
-            c = UX * ux[b] + UY * uy[b] + UZ * uz[b]  # (r, K)
-            c = jnp.clip(c, -1.0, 1.0)
-            c2 = c * c
-            cos6 = ((32.0 * c2 - 48.0) * c2 + 18.0) * c2 - 1.0
-            sin6 = jnp.sqrt(jnp.maximum(1.0 - c2, 0.0)) * (
-                ((32.0 * c2 - 32.0) * c2 + 6.0) * c
-            )
-            pair_ok = OK * okf[b] * jnp.where(lane < b, 1.0, 0.0)
-            re = re + jnp.sum(pair_ok * cos6, axis=1, keepdims=True)
-            im = im + jnp.sum(pair_ok * sin6, axis=1, keepdims=True)
-            npair = npair + jnp.sum(pair_ok, axis=1, keepdims=True)
-        denom = jnp.maximum(npair, 1.0)
-        psi = jnp.sqrt((re / denom) ** 2 + (im / denom) ** 2)
-        psi = jnp.where(count > 1, psi, 0.0)
+        psi = psi6_epilogue(ux, uy, uz, oks, count, r)
         psi_ref[0, pl.ds(i, 1), :] = psi.reshape(1, r)
         cnt_ref[0, pl.ds(i, 1), :] = count.reshape(1, r)
 
     return kernel
+
+
+def psi6_epilogue(ux, uy, uz, oks, count, r):
+    """| mean exp(6 i theta) | over all K-choose-2 neighbor pairs from
+    per-slot unit vectors (K-lists of (r, 1)). Shared by the monolithic and
+    window-chunked psi6 kernels.
+
+    Packs the per-slot (r, 1) vectors into (r, K) matrices: narrow columns
+    pad to full 128-lane vregs, so hundreds of separate (r, 1) temporaries
+    would blow the scoped-VMEM stack; packed, each pair batch is one
+    lane-vectorized op."""
+    UX = jnp.concatenate(ux, axis=1)  # (r, K)
+    UY = jnp.concatenate(uy, axis=1)
+    UZ = jnp.concatenate(uz, axis=1)
+    # cast each (r, 1) bool before concatenating (concat-then-cast hits
+    # an invalid i1->i32 vreg bitcast in Mosaic)
+    okf = [jnp.where(o, 1.0, 0.0) for o in oks]
+    OK = jnp.concatenate(okf, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+
+    re = jnp.zeros((r, 1), jnp.float32)
+    im = jnp.zeros((r, 1), jnp.float32)
+    npair = jnp.zeros((r, 1), jnp.float32)
+    for b in range(1, K):
+        # all pairs (a, b) with a < b at once along lanes
+        c = UX * ux[b] + UY * uy[b] + UZ * uz[b]  # (r, K)
+        c = jnp.clip(c, -1.0, 1.0)
+        c2 = c * c
+        cos6 = ((32.0 * c2 - 48.0) * c2 + 18.0) * c2 - 1.0
+        sin6 = jnp.sqrt(jnp.maximum(1.0 - c2, 0.0)) * (
+            ((32.0 * c2 - 32.0) * c2 + 6.0) * c
+        )
+        pair_ok = OK * okf[b] * jnp.where(lane < b, 1.0, 0.0)
+        re = re + jnp.sum(pair_ok * cos6, axis=1, keepdims=True)
+        im = im + jnp.sum(pair_ok * sin6, axis=1, keepdims=True)
+        npair = npair + jnp.sum(pair_ok, axis=1, keepdims=True)
+    denom = jnp.maximum(npair, 1.0)
+    psi = jnp.sqrt((re / denom) ** 2 + (im / denom) ** 2)
+    return jnp.where(count > 1, psi, 0.0)
 
 
 @partial(jax.jit, static_argnames=("row_tile", "window", "pad", "unsort"))
