@@ -503,3 +503,39 @@ def test_lsi_psi6_chunked_bit_match_monolithic():
     assert bool(np.asarray(pv1).all()) and bool(np.asarray(pv2).all())
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     np.testing.assert_array_equal(np.asarray(pc1), np.asarray(pc2))
+
+
+@needs_tpu
+def test_hbond_slab_matches_dense():
+    """The z-slab two-set H-bond kernel must reproduce the dense kernel's
+    acceptor/donor counts exactly when its window certificate holds."""
+    from waterorderlib_tpu.ops.pallas.hbond_kernel import hbond_counts
+    from waterorderlib_tpu.ops.pallas.hbond_slab import (
+        hbond_counts_slab, suggest_pad_two_set, suggest_window_two_set,
+    )
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n = 4096
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    rs = np.random.RandomState(23)
+    base = water_oxygen_lattice(n, box_len, seed=23).astype(np.float32)
+    box = jnp.asarray([box_len] * 3, jnp.float32)
+    acc = jnp.asarray(base)
+    don = jnp.concatenate([acc, acc], axis=0)
+    h_off = rs.normal(scale=0.6, size=(2 * n, 3)).astype(np.float32)
+    h_off /= np.linalg.norm(h_off, axis=1, keepdims=True)
+    donh = don + jnp.asarray(h_off)
+
+    win = suggest_window_two_set(n, 2 * n, box_len, 3.5)
+    pad = suggest_pad_two_set(2 * n, box_len, 5.5)
+    a_s, d_s, cov = hbond_counts_slab(acc, don, donh, box, 3.5, 120.0,
+                                      window=win, pad=pad)
+    assert bool(cov)
+    a_ref, d_ref = hbond_counts(acc, don, donh, box, 3.5, 120.0)
+    np.testing.assert_array_equal(np.asarray(a_s), np.asarray(a_ref))
+    np.testing.assert_array_equal(np.asarray(d_s), np.asarray(d_ref))
+
+    # an undersized window must fail the certificate, not silently prune
+    _, _, cov_small = hbond_counts_slab(acc, don, donh, box, 3.5, 120.0,
+                                        window=512, pad=pad)
+    assert not bool(cov_small)

@@ -79,6 +79,20 @@ def hb_calc(
     # the wat-wat matrix (Nw x 2Nw) dominates; on TPU the fused Pallas
     # counting kernel replaces it (consumers only need row/column sums)
     use_pallas_watwat = jax.devices()[0].platform == "tpu" and nw >= 512
+    # at 16k+ waters the z-slab two-set kernel takes over; its window/pad
+    # need the host-side box edge, so `_set_slab_cfg` fills this dict right
+    # before the first traced `run` call (empty dict = dense kernel)
+    slab_cfg: dict = {}
+
+    def _set_slab_cfg(box_z: float):
+        if use_pallas_watwat and nw >= 16384 and not slab_cfg:
+            from waterorderlib_tpu.ops.pallas.hbond_slab import (
+                suggest_pad_two_set,
+                suggest_window_two_set,
+            )
+
+            slab_cfg["win"] = suggest_window_two_set(nw, 2 * nw, box_z, dist_cut)
+            slab_cfg["pad"] = suggest_pad_two_set(2 * nw, box_z, dist_cut + 2.0)
 
     def frame_counts(p, box):
         """Per-frame H-bond totals: (wat_tot (Nw,), sol_tot (n_sol,))."""
@@ -88,9 +102,29 @@ def hb_calc(
         if use_pallas_watwat:
             from waterorderlib_tpu.ops.pallas.hbond_kernel import hbond_counts
 
-            acc_cnt, don_cnt = hbond_counts(
-                wat_acc_pos, wat_don_pos, wat_donh_pos, box, dist_cut, ang_cut
-            )
+            if slab_cfg:
+                # large systems: z-slab-pruned two-set kernel; the dense
+                # kernel recomputes in-graph iff the coverage certificate
+                # fails (lax.cond runs only the taken branch)
+                from waterorderlib_tpu.ops.pallas.hbond_slab import hbond_counts_slab
+
+                a_s, d_s, cov = hbond_counts_slab(
+                    wat_acc_pos, wat_don_pos, wat_donh_pos, box,
+                    dist_cut, ang_cut,
+                    window=slab_cfg["win"], pad=slab_cfg["pad"],
+                )
+                acc_cnt, don_cnt = jax.lax.cond(
+                    cov,
+                    lambda _: (a_s, d_s),
+                    lambda _: hbond_counts(
+                        wat_acc_pos, wat_don_pos, wat_donh_pos, box, dist_cut, ang_cut
+                    ),
+                    None,
+                )
+            else:
+                acc_cnt, don_cnt = hbond_counts(
+                    wat_acc_pos, wat_don_pos, wat_donh_pos, box, dist_cut, ang_cut
+                )
             wat_tot = acc_cnt + don_cnt.reshape(nw, 2).sum(axis=1)
         else:
             watwat = general_hbonds(wat_acc_pos, wat_don_pos, wat_donh_pos, box, dist_cut, ang_cut)
@@ -213,6 +247,7 @@ def hb_calc(
         h_sol = np.zeros(n_bins, np.float32)
         wm_parts, sm_parts = [], []
         for pos_c, boxes_c in iter_chunks(traj_file, chunk_frames, stride, n_atoms=top.n_atoms):
+            _set_slab_cfg(float(boxes_c[0, 2]))
             (hw, hs), (wm, sm) = run(jnp.asarray(pos_c), jnp.asarray(boxes_c))
             h_wat += np.asarray(hw)
             h_sol += np.asarray(hs)
@@ -221,6 +256,7 @@ def hb_calc(
         wat_means = np.concatenate(wm_parts)
         sol_means = np.concatenate(sm_parts)
     else:
+        _set_slab_cfg(float(traj.boxes[0, 2]))
         (h_wat, h_sol), (wat_means, sol_means) = run(
             jnp.asarray(traj.positions), jnp.asarray(traj.boxes)
         )
