@@ -122,8 +122,8 @@ def test_mdcrd_native_decoder(tmp_path):
     rs = np.random.RandomState(3)
     n = 23  # 69 values/frame: lines of 10 fields + a short final line
     traj = Trajectory(
-        (rs.random((4, n, 3)) * 2000 - 1000).astype(np.float32),
-        np.tile(np.float32([17.5, 9999.999, 0.001]), (4, 1)),
+        (rs.random((4, n, 3)) * 1998 - 999).astype(np.float32),
+        np.tile(np.float32([17.5, 9999.9, 0.001]), (4, 1)),
     )
     p = str(tmp_path / "t.mdcrd")
     mdcrd.write_mdcrd(p, traj)

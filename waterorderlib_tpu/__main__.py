@@ -116,7 +116,7 @@ def main(argv=None):
         common.pop("wat_res")
         avg_psi, var_psi = hex_order_calc(
             args.top, args.traj, end_res=args.wat_res, high_cut=args.high_cut,
-            mesh=chunk.get("mesh"), **common,
+            **common, **chunk,
         )
         print(json.dumps({"avgPsi": avg_psi[0].tolist()}))
     elif args.cmd == "rdf":

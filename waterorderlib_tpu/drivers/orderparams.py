@@ -208,6 +208,7 @@ def tet_order_calc(
                 wp, b, m, low_cut, high_cut, row_block, n_bins, lo, hi, mesh=mesh
             ),
             n_carry=1, n_stats=2, checkpoint=checkpoint,
+            fp_params=("tet", low_cut, high_cut),
         )
         for j in range(n_pops + 1):
             _save_hist(
@@ -423,6 +424,7 @@ def three_body_calc(
 def _run_chunked(
     top_file, traj_file, sub_inds, n_pops, wat_res, stride, chunk_frames,
     core, n_carry, n_stats, checkpoint: str | None = None,
+    fp_params: tuple = (), center_select=None,
 ):
     """Stream a trajectory through `core(wat_pos, boxes, masks)` in chunks.
 
@@ -435,21 +437,48 @@ def _run_chunked(
     With `checkpoint` set (an .npz path), partial results are written after
     every chunk and an interrupted scan resumes from the last completed
     chunk — elastic recovery for long production trajectories (SURVEY §5).
-    The checkpoint is fingerprinted by (chunk_frames, stride, n_pops) and
-    discarded on mismatch; it is removed on successful completion.
+    The checkpoint is fingerprinted by (chunk_frames, stride, n_pops, nw)
+    PLUS the trajectory's identity (path, size, mtime) and the caller's
+    analysis parameters (`fp_params`), so a stale checkpoint from a
+    different trajectory or parameter set is discarded, not resumed into
+    mixed results. Removed on successful completion.
+
+    `center_select(top) -> index array` overrides the default water-oxygen
+    center selection (e.g. hexOrderCalc's every-other chain-end rule).
     """
+    import hashlib
+
     from waterorderlib_tpu.io.streaming import iter_chunks
     from waterorderlib_tpu.io.trajectory import load_topology
 
     top = top_file if isinstance(top_file, Topology) else load_topology(top_file)
-    wat_inds, _, _ = top.get_wat_inds(wat_res)
+    if center_select is not None:
+        wat_inds = np.asarray(center_select(top))
+    else:
+        wat_inds, _, _ = top.get_wat_inds(wat_res)
     nw = len(wat_inds)
     row_map = _row_of_atom(wat_inds, top.n_atoms)
+    from time import monotonic as _monotonic
+
     carry_acc = None
     stats_parts = []
     frame0 = 0
     resume_from = 0
-    fp = np.array([chunk_frames, stride, n_pops, nw])
+    last_ck = -1.0e18  # first chunk always checkpoints
+    traj_id = ""
+    if isinstance(traj_file, str):
+        try:
+            st = os.stat(traj_file)
+            traj_id = f"{traj_file}:{st.st_size}:{int(st.st_mtime)}"
+        except OSError:
+            traj_id = str(traj_file)
+    sig = hashlib.sha256(
+        repr((traj_id, tuple(fp_params), wat_res)).encode()
+    ).digest()[:8]
+    fp = np.concatenate(
+        [np.array([chunk_frames, stride, n_pops, nw], np.int64),
+         np.frombuffer(sig, np.int64)]
+    )
     if checkpoint and os.path.exists(checkpoint):
         with np.load(checkpoint, allow_pickle=False) as ck:
             if np.array_equal(ck["fingerprint"], fp):
@@ -475,7 +504,12 @@ def _run_chunked(
         carry_acc = carry if carry_acc is None else [a + c for a, c in zip(carry_acc, carry)]
         stats_parts.append(stats)
         frame0 += fc
-        if checkpoint:
+        # each write re-serializes the full accumulated state, so per-chunk
+        # writes would cost O(n_chunks^2) I/O over a long scan; throttle to
+        # one write per 10 s (an interruption loses at most that much work)
+        now = _monotonic()
+        if checkpoint and now - last_ck > 10.0:
+            last_ck = now
             payload = {
                 "fingerprint": fp,
                 "frames_done": np.array(frame0),
@@ -559,11 +593,15 @@ def _lsi_core(wat_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block
             wat_pos, boxes, masks, mesh, low_cut, high_cut, k=max_neighbors,
             n_bins=n_bins, lo=lo, hi=hi, row_block=row_block,
         )
-    # TPU: fused LSI kernel over the whole trajectory (certified); the
-    # kernel's K=24 candidate list is a superset of any k <= 24 in practice
-    # (water has ~6 in-shell members and the next-shell pick is among the
-    # nearest few candidates beyond the cutoff)
-    use_pallas = jax.devices()[0].platform == "tpu" and nw >= 2 * row_block
+    # TPU: fused LSI kernel over the whole trajectory (certified). Gated on
+    # max_neighbors == 24 (the kernel's fixed K) so identical arguments give
+    # identical results on every platform — the raw-distance next-shell
+    # argmin can differ between candidate-list sizes on edge cases
+    use_pallas = (
+        jax.devices()[0].platform == "tpu"
+        and nw >= 2 * row_block
+        and max_neighbors == 24
+    )
     if use_pallas:
         try:
             from waterorderlib_tpu.ops.pallas import lsi_kernel
@@ -627,7 +665,7 @@ def lsi_calc(
     stride: int = 1,
     low_cut: float = 0.0,
     high_cut: float = 3.7,
-    max_neighbors: int = 16,
+    max_neighbors: int = 24,  # the fused TPU kernel K; >= any realistic shell occupancy
     output_dir: str = ".",
     row_block: int = pairs.DEFAULT_ROW_BLOCK,
     seed: int | None = 0,
@@ -684,58 +722,19 @@ def lsi_calc(
 # hexOrderCalc
 # ---------------------------------------------------------------------------
 
-def hex_order_calc(
-    top_file,
-    traj_file,
-    sub_inds=None,
-    n_pops: int = 0,
-    end_res: str = "WAT",
-    stride: int = 1,
-    low_cut: float = 0.0,
-    high_cut: float = 7.0,
-    max_neighbors: int = 24,
-    output_dir: str = ".",
-    row_block: int = pairs.DEFAULT_ROW_BLOCK,
-    seed: int | None = 0,
-    mesh=None,
-):
-    """psi-6 hexagonal order driver (orderParam_lib.py:1505-1584).
-
-    Chain-end centers are every other "water" heavy index
-    (endInds = watInds[1::2], ref :1527). Returns (avgPsi, varPsi); writes
-    psiDistribution_j.txt per population. With `mesh` the psi computation
-    shards over the ('frames', 'atoms') device mesh.
-    """
-    top, traj = _resolve_system(top_file, traj_file, stride)
-    end_inds, _, _ = top.get_wat_inds(end_res)
-    end_inds = end_inds[1::2]
-    F = traj.n_frames
-    ne = len(end_inds)
-    end_pos = jnp.asarray(traj.positions[:, end_inds, :])
-    boxes = jnp.asarray(traj.boxes)
-    row_map = _row_of_atom(end_inds, top.n_atoms)
-    pops = pop_masks_from_subinds(sub_inds, F, n_pops, row_map, ne)
-    all_mask = np.ones((F, 1, ne), dtype=bool)
-    masks = jnp.asarray(np.concatenate([all_mask, pops], axis=1))
-    n_bins, lo, hi = 500, 0.0, 1.0
-
+def _psi_core(end_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block,
+              n_bins, lo, hi, mesh=None):
+    """psi-6 + population statistics for one frame batch: returns
+    (hist (P+1, n_bins), (means (F, P+1), vars (F, P+1)))."""
+    ne = end_pos.shape[1]
     if mesh is not None:
         from waterorderlib_tpu.parallel import mesh as pmesh
 
-        hist, (avg_psi, var_psi) = pmesh.sharded_psi6_analysis(
+        return pmesh.sharded_psi6_analysis(
             end_pos, boxes, masks, mesh, low_cut, high_cut, k=max_neighbors,
             n_bins=n_bins, lo=lo, hi=hi, row_block=row_block,
         )
-        hist = np.asarray(hist)
-        for j in range(n_pops + 1):
-            _save_hist(
-                os.path.join(output_dir, f"psiDistribution_{j}.txt"),
-                hist[j], n_bins, lo, hi, "psiVal    frequency",
-            )
-        return _mean_ci_rows(np.asarray(avg_psi), seed), _mean_ci_rows(np.asarray(var_psi), seed)
-
     # TPU: fused psi6 kernel (Chebyshev cos/sin(6 theta), certified windows)
-    hist = None
     use_pallas = (
         jax.devices()[0].platform == "tpu" and ne >= 2 * row_block and max_neighbors == 24
     )
@@ -762,22 +761,89 @@ def hex_order_calc(
         except Exception:
             covered = np.zeros(1, bool)  # VMEM etc: fall through to XLA
         if bool(np.asarray(covered).all()):
-            hist, (avg_psi, var_psi) = _masked_value_pop_stats(
+            return _masked_value_pop_stats(
                 psi_v, jnp.ones(psi_v.shape, bool), masks, n_bins, lo, hi
             )
-    if hist is None:
-        def step(hist, frame):
-            pos, box, mask = frame
-            psi = psi6_mod.order_param_psi(
-                pos, pos, box, low_cut, high_cut, k=max_neighbors, row_block=row_block
-            )
-            mean, var = histograms.masked_mean_var(psi[None, :], mask)
-            h = jax.vmap(lambda m: histograms.masked_histogram(psi, m, n_bins, lo, hi))(mask)
-            return hist + h, (mean, var)
 
-        hist, (avg_psi, var_psi) = _scan_frames(
-            step, jnp.zeros((n_pops + 1, n_bins), jnp.float32), end_pos, boxes, masks
+    def step(hist, frame):
+        pos, box, mask = frame
+        psi = psi6_mod.order_param_psi(
+            pos, pos, box, low_cut, high_cut, k=max_neighbors, row_block=row_block
         )
+        mean, var = histograms.masked_mean_var(psi[None, :], mask)
+        h = jax.vmap(lambda m: histograms.masked_histogram(psi, m, n_bins, lo, hi))(mask)
+        return hist + h, (mean, var)
+
+    n_pops1 = masks.shape[1]
+    return _scan_frames(
+        step, jnp.zeros((n_pops1, n_bins), jnp.float32), end_pos, boxes, masks
+    )
+
+
+def hex_order_calc(
+    top_file,
+    traj_file,
+    sub_inds=None,
+    n_pops: int = 0,
+    end_res: str = "WAT",
+    stride: int = 1,
+    low_cut: float = 0.0,
+    high_cut: float = 7.0,
+    max_neighbors: int = 24,
+    output_dir: str = ".",
+    row_block: int = pairs.DEFAULT_ROW_BLOCK,
+    seed: int | None = 0,
+    chunk_frames: int | None = None,
+    mesh=None,
+):
+    """psi-6 hexagonal order driver (orderParam_lib.py:1505-1584).
+
+    Chain-end centers are every other "water" heavy index
+    (endInds = watInds[1::2], ref :1527). Returns (avgPsi, varPsi); writes
+    psiDistribution_j.txt per population. With `chunk_frames` the
+    trajectory streams in chunks (io/streaming.py); with `mesh` the psi
+    computation shards over the ('frames', 'atoms') device mesh.
+    """
+    n_bins0, lo0, hi0 = 500, 0.0, 1.0
+    if chunk_frames is not None:
+        hist, (avg_psi, var_psi) = _run_chunked(
+            top_file, traj_file, sub_inds, n_pops, end_res, stride, chunk_frames,
+            lambda ep, b, m: _psi_core(
+                ep, b, m, low_cut, high_cut, max_neighbors, row_block,
+                n_bins0, lo0, hi0, mesh=mesh,
+            ),
+            n_carry=1, n_stats=2,
+            fp_params=("psi", low_cut, high_cut, max_neighbors),
+            center_select=lambda t: np.asarray(t.get_wat_inds(end_res)[0])[1::2],
+        )
+        hist = np.asarray(hist)
+        for j in range(n_pops + 1):
+            _save_hist(
+                os.path.join(output_dir, f"psiDistribution_{j}.txt"),
+                hist[j], n_bins0, lo0, hi0, "psiVal    frequency",
+            )
+        return (
+            _mean_ci_rows(np.asarray(avg_psi), seed),
+            _mean_ci_rows(np.asarray(var_psi), seed),
+        )
+
+    top, traj = _resolve_system(top_file, traj_file, stride)
+    end_inds, _, _ = top.get_wat_inds(end_res)
+    end_inds = end_inds[1::2]
+    F = traj.n_frames
+    ne = len(end_inds)
+    end_pos = jnp.asarray(traj.positions[:, end_inds, :])
+    boxes = jnp.asarray(traj.boxes)
+    row_map = _row_of_atom(end_inds, top.n_atoms)
+    pops = pop_masks_from_subinds(sub_inds, F, n_pops, row_map, ne)
+    all_mask = np.ones((F, 1, ne), dtype=bool)
+    masks = jnp.asarray(np.concatenate([all_mask, pops], axis=1))
+    n_bins, lo, hi = 500, 0.0, 1.0
+
+    hist, (avg_psi, var_psi) = _psi_core(
+        end_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block,
+        n_bins, lo, hi, mesh=mesh,
+    )
     hist = np.asarray(hist)
     for j in range(n_pops + 1):
         _save_hist(

@@ -160,27 +160,68 @@ def iter_chunks(source, chunk_frames: int, stride: int = 1, n_atoms: int | None 
     a host->device double-buffered input pipeline).
     """
     rdr = open_lazy(source, n_atoms=n_atoms)
+    t = None
+    stop = threading.Event()
+    q: Queue = Queue(maxsize=1)
     try:
         starts = list(range(0, rdr.n_frames, chunk_frames * stride))
         if not starts:
             return
 
-        q: Queue = Queue(maxsize=1)
+        def bounded_put(item):
+            # bounded put so an abandoned consumer can't block us forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return
+                except Exception:  # queue.Full
+                    continue
+
+        error: list = []
 
         def produce():
-            for s in starts:
-                pos, boxes = rdr.read(s, chunk_frames * stride)
-                q.put((pos[::stride], boxes[::stride]))
-            q.put(None)
+            try:
+                for s in starts:
+                    if stop.is_set():
+                        break
+                    pos, boxes = rdr.read(s, chunk_frames * stride)
+                    bounded_put((pos[::stride], boxes[::stride]))
+            except Exception as e:  # surfaced to the consumer below
+                error.append(e)
+            finally:
+                bounded_put(None)  # end-of-stream sentinel MUST eventually land
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
         while True:
-            item = q.get()
+            try:
+                item = q.get(timeout=1.0)
+            except Exception:  # queue.Empty: re-check producer health
+                if not t.is_alive() and q.empty():
+                    break
+                continue
             if item is None:
                 break
             pos, boxes = item
             yield np.asarray(pos, np.float32), np.asarray(boxes, np.float32)
-        t.join()
+        if error:
+            raise error[0]
     finally:
-        rdr.close()
+        # unwind safely when the consumer raises mid-iteration: signal the
+        # producer, drain its pending chunk (so its q.put returns and it
+        # drops any live views of the mmap), join, and only then close the
+        # mmap — closing early would raise BufferError (masking the caller's
+        # exception) and leave the thread blocked forever
+        stop.set()
+        if t is not None:
+            try:
+                while not q.empty():
+                    q.get_nowait()
+            except Exception:
+                pass
+            t.join(timeout=5.0)
+        try:
+            rdr.close()
+        except BufferError:
+            pass  # a straggling read still holds a view; let GC reclaim the
+            # map rather than mask the caller's exception

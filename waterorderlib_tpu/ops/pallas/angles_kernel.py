@@ -29,7 +29,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from waterorderlib_tpu.ops.pallas.slab import slab_prep_traj, unsort_frames
+from waterorderlib_tpu.ops.pallas.slab import (
+    extract_k_min,
+    slab_prep_traj,
+    unsort_frames,
+)
 
 K = 16
 N_PAIRS = K * (K - 1) // 2  # 120
@@ -91,29 +95,17 @@ def _make_kernel(pad: int):
         count = jnp.sum(valid.astype(jnp.float32), axis=1, keepdims=True)
         dsq_ref[:] = jnp.where(valid, dsq, jnp.inf)
 
-        big = jnp.int32(w)
-        ux, uy, uz, oks = [], [], [], []
-        for _ in range(K):
-            d = dsq_ref[:]
-            m = jnp.min(d, axis=1, keepdims=True)
-            eq = (d == m) & jnp.isfinite(d)
-            fc = jnp.min(jnp.where(eq, col, big), axis=1, keepdims=True)
-            first = eq & (col == fc)
-            wgt = first.astype(jnp.float32)
-            xj = jnp.sum(wgt * xs, axis=1, keepdims=True)
-            yj = jnp.sum(wgt * ys, axis=1, keepdims=True)
-            zj = jnp.sum(wgt * zs, axis=1, keepdims=True)
-            ok = jnp.sum(wgt, axis=1, keepdims=True) > 0
-            vx = mi(xj - xr, bx)
-            vy = mi(yj - yr, by)
-            vz = mi(zj - zr, bz)
+        _, (xjs, yjs, zjs), oks = extract_k_min(dsq_ref, col, [xs, ys, zs], K)
+        ux, uy, uz = [], [], []
+        for k in range(K):
+            vx = mi(xjs[k] - xr, bx)
+            vy = mi(yjs[k] - yr, by)
+            vz = mi(zjs[k] - zr, bz)
             nrm = jnp.sqrt(vx * vx + vy * vy + vz * vz)
             inv = jnp.where(nrm > 0, 1.0 / jnp.where(nrm > 0, nrm, 1.0), 0.0)
             ux.append(vx * inv)
             uy.append(vy * inv)
             uz.append(vz * inv)
-            oks.append(ok)
-            dsq_ref[:] = jnp.where(first, jnp.inf, d)
 
         rad2deg = jnp.float32(180.0 / np.pi)
         cols = []

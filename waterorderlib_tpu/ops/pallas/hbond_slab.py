@@ -155,8 +155,12 @@ def hbond_counts_slab(
     )
     vhat_ext = jnp.concatenate([vhat_s[-pad:], vhat_s, vhat_s[:pad]], axis=0)
     nd_ext = nd + 2 * pad
-    # a window wider than Nd can hold a donor AND its boundary copy
-    w = min(window, nd_ext, max(128, (nd // 128) * 128))
+    # a window wider than Nd can hold a donor AND its boundary copy and
+    # double-count bonds; below 128 donors no lane-aligned window can avoid
+    # that, so refuse (the dense kernel is the right tool there anyway)
+    if nd < 128:
+        raise ValueError("hbond_counts_slab needs >= 128 donors; use hbond_counts")
+    w = min(window, nd_ext, (nd // 128) * 128)
 
     ext_z = don_ext[:, 2]
     tile_first = jnp.arange(n_tiles) * r

@@ -22,7 +22,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from waterorderlib_tpu.ops.pallas.lsi_kernel import K, lsi_epilogue
-from waterorderlib_tpu.ops.pallas.slab import slab_prep_traj, unsort_frames
+from waterorderlib_tpu.ops.pallas.slab import (
+    extract_k_min,
+    merge_k_min,
+    slab_prep_traj,
+    unsort_frames,
+)
 
 
 def _make_kernel(pad: int, seg: int, n_seg: int):
@@ -51,7 +56,6 @@ def _make_kernel(pad: int, seg: int, n_seg: int):
         rzr = raw_t_ref[0, 2, pl.ds(row0, r)].reshape(r, 1)
 
         col = jax.lax.broadcasted_iota(jnp.int32, (r, seg), 1)
-        col2k = jax.lax.broadcasted_iota(jnp.int32, (r, 2 * K), 1)
 
         def segment(s, carry):
             cd, craw = carry
@@ -69,45 +73,26 @@ def _make_kernel(pad: int, seg: int, n_seg: int):
             valid = (dsq > low_sq) & (dsq <= outer_sq)
             dsq_ref[:] = jnp.where(valid, dsq, jnp.inf)
 
-            big = jnp.int32(seg)
-            nd, nraw = [], []
-            for _ in range(K):
-                d = dsq_ref[:]
-                m = jnp.min(d, axis=1, keepdims=True)
-                eq = (d == m) & jnp.isfinite(d)
-                fc = jnp.min(jnp.where(eq, col, big), axis=1, keepdims=True)
-                first = eq & (col == fc)
-                wgt = first.astype(jnp.float32)
-                rxj = jnp.sum(wgt * rxs, axis=1, keepdims=True)
-                ryj = jnp.sum(wgt * rys, axis=1, keepdims=True)
-                rzj = jnp.sum(wgt * rzs, axis=1, keepdims=True)
-                ok = jnp.sum(wgt, axis=1, keepdims=True) > 0
-                rawsq = (rxj - rxr) ** 2 + (ryj - ryr) ** 2 + (rzj - rzr) ** 2
-                nd.append(jnp.where(ok, m, jnp.inf))
-                nraw.append(jnp.where(ok, rawsq, jnp.inf))
-                dsq_ref[:] = jnp.where(first, jnp.inf, d)
-
-            cand_d = jnp.concatenate([cd] + nd, axis=1)  # (r, 2K)
-            cand_raw = jnp.concatenate([craw] + nraw, axis=1)
-            big2k = jnp.int32(2 * K)
-            kd, kraw = [], []
-            for _ in range(K):
-                m = jnp.min(cand_d, axis=1, keepdims=True)
-                eq = (cand_d == m) & jnp.isfinite(cand_d)
-                fc = jnp.min(jnp.where(eq, col2k, big2k), axis=1, keepdims=True)
-                first = eq & (col2k == fc)
-                wgt = first.astype(jnp.float32)
-                kd.append(jnp.where(jnp.isfinite(m), m, jnp.inf))
-                kraw.append(
-                    jnp.where(
-                        jnp.isfinite(m),
-                        jnp.sum(wgt * jnp.where(jnp.isfinite(cand_raw), cand_raw, 0.0),
-                                axis=1, keepdims=True),
-                        jnp.inf,
-                    )
+            # per-round raw squared distance of the extracted candidate,
+            # the quantity the reference's next-shell argmin selects on
+            nd, (rxjs, ryjs, rzjs), oks = extract_k_min(
+                dsq_ref, col, [rxs, rys, rzs], K
+            )
+            nraw = [
+                jnp.where(
+                    oks[j],
+                    (rxjs[j] - rxr) ** 2 + (ryjs[j] - ryr) ** 2 + (rzjs[j] - rzr) ** 2,
+                    jnp.inf,
                 )
-                cand_d = jnp.where(first, jnp.inf, cand_d)
-            return jnp.concatenate(kd, axis=1), jnp.concatenate(kraw, axis=1)
+                for j in range(K)
+            ]
+            kd, (kraw,) = merge_k_min(
+                jnp.concatenate([cd] + nd, axis=1),
+                [jnp.concatenate([craw] + nraw, axis=1)],
+                K,
+                invalids=[jnp.inf],
+            )
+            return kd, kraw
 
         init = (
             jnp.full((r, K), jnp.inf, jnp.float32),

@@ -27,7 +27,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from waterorderlib_tpu.ops.pallas.slab import slab_prep_traj, unsort_frames
+from waterorderlib_tpu.ops.pallas.slab import (
+    extract_k_min,
+    slab_prep_traj,
+    unsort_frames,
+)
 
 K = 24
 
@@ -73,26 +77,20 @@ def _make_kernel(pad: int):
         valid = (dsq > low_sq) & (dsq <= outer_sq)
         dsq_ref[:] = jnp.where(valid, dsq, jnp.inf)
 
-        big = jnp.int32(w)
-        dists = []   # (r, 1) sorted imaged distances
-        rawsqs = []  # (r, 1) raw squared distance of the same candidate
-        fin = []     # (r, 1) slot is a real candidate
-        for _ in range(K):
-            d = dsq_ref[:]
-            m = jnp.min(d, axis=1, keepdims=True)
-            eq = (d == m) & jnp.isfinite(d)
-            fc = jnp.min(jnp.where(eq, col, big), axis=1, keepdims=True)
-            first = eq & (col == fc)
-            wgt = first.astype(jnp.float32)
-            rxj = jnp.sum(wgt * rxs, axis=1, keepdims=True)
-            ryj = jnp.sum(wgt * rys, axis=1, keepdims=True)
-            rzj = jnp.sum(wgt * rzs, axis=1, keepdims=True)
-            ok = jnp.sum(wgt, axis=1, keepdims=True) > 0
-            rawsq = (rxj - rxr) ** 2 + (ryj - ryr) ** 2 + (rzj - rzr) ** 2
-            dists.append(jnp.sqrt(jnp.where(ok, m, jnp.inf)))
-            rawsqs.append(jnp.where(ok, rawsq, jnp.inf))
-            fin.append(ok)
-            dsq_ref[:] = jnp.where(first, jnp.inf, d)
+        # sorted imaged distances + each candidate's raw (non-imaged)
+        # squared distance, the quantity the next-shell argmin selects on
+        mins, (rxjs, ryjs, rzjs), fin = extract_k_min(
+            dsq_ref, col, [rxs, rys, rzs], K
+        )
+        dists = [jnp.sqrt(mins[j]) for j in range(K)]
+        rawsqs = [
+            jnp.where(
+                fin[j],
+                (rxjs[j] - rxr) ** 2 + (ryjs[j] - ryr) ** 2 + (rzjs[j] - rzr) ** 2,
+                jnp.inf,
+            )
+            for j in range(K)
+        ]
 
         var, okrow, n_near = lsi_epilogue(dists, rawsqs, fin, high, r)
         lsi_ref[0, pl.ds(i, 1), :] = jnp.where(okrow, var, 0.0).reshape(1, r)

@@ -19,7 +19,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from waterorderlib_tpu.ops.pallas.psi6_kernel import K, psi6_epilogue
-from waterorderlib_tpu.ops.pallas.slab import slab_prep_traj, unsort_frames
+from waterorderlib_tpu.ops.pallas.slab import (
+    extract_k_min,
+    merge_k_min,
+    slab_prep_traj,
+    unsort_frames,
+)
 
 
 def _make_kernel(pad: int, seg: int, n_seg: int):
@@ -43,7 +48,6 @@ def _make_kernel(pad: int, seg: int, n_seg: int):
         zr = ext_t_ref[0, 2, pl.ds(row0, r)].reshape(r, 1)
 
         col = jax.lax.broadcasted_iota(jnp.int32, (r, seg), 1)
-        col2k = jax.lax.broadcasted_iota(jnp.int32, (r, 2 * K), 1)
 
         def segment(s, carry):
             cd, cx, cy, cz, count = carry
@@ -59,45 +63,17 @@ def _make_kernel(pad: int, seg: int, n_seg: int):
             count = count + jnp.sum(valid.astype(jnp.float32), axis=1, keepdims=True)
             dsq_ref[:] = jnp.where(valid, dsq, jnp.inf)
 
-            big = jnp.int32(seg)
-            nd, nx, ny, nz = [], [], [], []
-            for _ in range(K):
-                d = dsq_ref[:]
-                m = jnp.min(d, axis=1, keepdims=True)
-                eq = (d == m) & jnp.isfinite(d)
-                fc = jnp.min(jnp.where(eq, col, big), axis=1, keepdims=True)
-                first = eq & (col == fc)
-                wgt = first.astype(jnp.float32)
-                nd.append(jnp.where(jnp.isfinite(m), m, jnp.inf))
-                nx.append(jnp.sum(wgt * xs, axis=1, keepdims=True))
-                ny.append(jnp.sum(wgt * ys, axis=1, keepdims=True))
-                nz.append(jnp.sum(wgt * zs, axis=1, keepdims=True))
-                dsq_ref[:] = jnp.where(first, jnp.inf, d)
-
-            cand_d = jnp.concatenate([cd] + nd, axis=1)  # (r, 2K)
-            cand_x = jnp.concatenate([cx] + nx, axis=1)
-            cand_y = jnp.concatenate([cy] + ny, axis=1)
-            cand_z = jnp.concatenate([cz] + nz, axis=1)
-            big2k = jnp.int32(2 * K)
-            kd, kx, ky, kz = [], [], [], []
-            for _ in range(K):
-                m = jnp.min(cand_d, axis=1, keepdims=True)
-                eq = (cand_d == m) & jnp.isfinite(cand_d)
-                fc = jnp.min(jnp.where(eq, col2k, big2k), axis=1, keepdims=True)
-                first = eq & (col2k == fc)
-                wgt = first.astype(jnp.float32)
-                kd.append(jnp.where(jnp.isfinite(m), m, jnp.inf))
-                kx.append(jnp.sum(wgt * cand_x, axis=1, keepdims=True))
-                ky.append(jnp.sum(wgt * cand_y, axis=1, keepdims=True))
-                kz.append(jnp.sum(wgt * cand_z, axis=1, keepdims=True))
-                cand_d = jnp.where(first, jnp.inf, cand_d)
-            return (
-                jnp.concatenate(kd, axis=1),
-                jnp.concatenate(kx, axis=1),
-                jnp.concatenate(ky, axis=1),
-                jnp.concatenate(kz, axis=1),
-                count,
+            nd, (nx, ny, nz), _ = extract_k_min(dsq_ref, col, [xs, ys, zs], K)
+            kd, (kx, ky, kz) = merge_k_min(
+                jnp.concatenate([cd] + nd, axis=1),
+                [
+                    jnp.concatenate([cx] + nx, axis=1),
+                    jnp.concatenate([cy] + ny, axis=1),
+                    jnp.concatenate([cz] + nz, axis=1),
+                ],
+                K,
             )
+            return kd, kx, ky, kz, count
 
         init = (
             jnp.full((r, K), jnp.inf, jnp.float32),

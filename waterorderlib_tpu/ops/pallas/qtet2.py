@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from waterorderlib_tpu.ops.pallas.slab import extract_k_min
+
 
 def _make_kernel(windowed: bool, pad: int):
     """Kernel body: rows [row0, row0+r) of the (extended) frame against a
@@ -73,33 +75,19 @@ def _make_kernel(windowed: bool, pad: int):
         count = jnp.sum(valid.astype(jnp.float32), axis=1, keepdims=True)
         dsq_ref[:] = jnp.where(valid, dsq, jnp.inf)
 
-        big = jnp.int32(w)
+        # neighbor coordinates via masked sums of the column coords
+        # (slab.extract_k_min); each displacement is re-imaged on the (r, 1)
+        # result — no (r, w) displacement scratch needed
+        mins, (xjs, yjs, zjs), oks = extract_k_min(dsq_ref, col, [xs, ys, zs], 4)
         units = []
-        oks = []
-        last_d = None
-        for _ in range(4):
-            d = dsq_ref[:]
-            m = jnp.min(d, axis=1, keepdims=True)
-            eq = (d == m) & jnp.isfinite(d)
-            fc = jnp.min(jnp.where(eq, col, big), axis=1, keepdims=True)
-            first = eq & (col == fc)
-            wgt = first.astype(jnp.float32)
-            # neighbor coordinates via masked sum of the column coords; the
-            # displacement is re-imaged on the (r, 1) result — no (r, w)
-            # displacement scratch needed
-            xj = jnp.sum(wgt * xs, axis=1, keepdims=True)
-            yj = jnp.sum(wgt * ys, axis=1, keepdims=True)
-            zj = jnp.sum(wgt * zs, axis=1, keepdims=True)
-            ok = jnp.sum(wgt, axis=1, keepdims=True) > 0
-            vx = mi(xj - xr, bx)
-            vy = mi(yj - yr, by)
-            vz = mi(zj - zr, bz)
+        for k in range(4):
+            vx = mi(xjs[k] - xr, bx)
+            vy = mi(yjs[k] - yr, by)
+            vz = mi(zjs[k] - zr, bz)
             nrm = jnp.sqrt(vx * vx + vy * vy + vz * vz)
             inv = jnp.where(nrm > 0, 1.0 / jnp.where(nrm > 0, nrm, 1.0), 0.0)
             units.append((vx * inv, vy * inv, vz * inv))
-            oks.append(ok)
-            last_d = jnp.where(jnp.isfinite(m), m, jnp.inf)
-            dsq_ref[:] = jnp.where(first, jnp.inf, d)
+        last_d = mins[3]
 
         ssum = jnp.zeros((r, 1), jnp.float32)
         for a in range(4):

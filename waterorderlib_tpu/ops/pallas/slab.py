@@ -89,6 +89,75 @@ def slab_prep_traj(
     return SlabPrep(ext_t, starts_f, covered, order0, w, n_tiles)
 
 
+def extract_k_min(dsq_ref, col, payloads, k: int):
+    """K rounds of iterative first-column min extraction over the (r, w)
+    distance scratch — the core loop every slab kernel shares, factored out
+    so the tie-break rule (lowest column index among equal minima, the rule
+    that keeps chunked and monolithic kernels bit-identical) lives in ONE
+    place.
+
+    dsq_ref: VMEM scratch holding masked squared distances (+inf invalid);
+    poisoned (+inf) at each extracted entry. col: (r, w) column iota.
+    payloads: list of (1, w) column arrays (e.g. xs/ys/zs coordinates).
+
+    Returns (mins, sums, oks), each a K-list of (r, 1) arrays: the k-th
+    smallest distance (+inf when no candidate remains), the masked sum of
+    every payload at the extracted column (0 when absent), and validity.
+    """
+    w = dsq_ref.shape[1]
+    big = jnp.int32(w)
+    mins: list = []
+    sums: list = [[] for _ in payloads]
+    oks: list = []
+    for _ in range(k):
+        d = dsq_ref[:]
+        m = jnp.min(d, axis=1, keepdims=True)
+        eq = (d == m) & jnp.isfinite(d)
+        fc = jnp.min(jnp.where(eq, col, big), axis=1, keepdims=True)
+        first = eq & (col == fc)
+        wgt = first.astype(jnp.float32)
+        mins.append(jnp.where(jnp.isfinite(m), m, jnp.inf))
+        for i, p in enumerate(payloads):
+            sums[i].append(jnp.sum(wgt * p, axis=1, keepdims=True))
+        oks.append(jnp.sum(wgt, axis=1, keepdims=True) > 0)
+        dsq_ref[:] = jnp.where(first, jnp.inf, d)
+    return mins, sums, oks
+
+
+def merge_k_min(cand_d, payloads, k: int, invalids=None):
+    """K rounds of first-index min extraction over a (r, C) candidate value
+    array (the carried-top-K merge of the *_chunked kernels; C = 2K).
+
+    payloads: list of (r, C) arrays riding along with the distances;
+    non-finite payload entries sum as 0. invalids: per-payload fill for
+    slots with no remaining candidate (default 0.0; use jnp.inf for
+    distance-like payloads). Returns (kd (r, K), [payload_out (r, K)]).
+    Candidates must be ordered carried-first so equal distances keep the
+    earlier column's winner (see qtet_chunked.py's exactness argument)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, cand_d.shape, 1)
+    big = jnp.int32(cand_d.shape[1])
+    if invalids is None:
+        invalids = [0.0] * len(payloads)
+    kd: list = []
+    outs: list = [[] for _ in payloads]
+    for _ in range(k):
+        m = jnp.min(cand_d, axis=1, keepdims=True)
+        eq = (cand_d == m) & jnp.isfinite(cand_d)
+        fc = jnp.min(jnp.where(eq, col, big), axis=1, keepdims=True)
+        first = eq & (col == fc)
+        wgt = first.astype(jnp.float32)
+        fin = jnp.isfinite(m)
+        kd.append(jnp.where(fin, m, jnp.inf))
+        for i, p in enumerate(payloads):
+            s = jnp.sum(wgt * jnp.where(jnp.isfinite(p), p, 0.0), axis=1, keepdims=True)
+            outs[i].append(jnp.where(fin, s, invalids[i]))
+        cand_d = jnp.where(first, jnp.inf, cand_d)
+    return (
+        jnp.concatenate(kd, axis=1),
+        [jnp.concatenate(o, axis=1) for o in outs],
+    )
+
+
 def fits_scoped_vmem(
     row_tile: int, window: int, unroll_k: int, limit: int = 15_500_000
 ) -> bool:

@@ -130,24 +130,11 @@ def sharded_q_analysis_padded(
     mask removes all padding from the mean and the global histogram, so the
     returned (q (F, N), mean_q (F,), hist) match the unpadded computation.
     """
-    f, n = pos.shape[:2]
-    df, da = mesh.devices.shape
-    pad_f = (-f) % df
-    pad_n = (-n) % da
-    mask = jnp.ones((f, n), bool)
-    if pad_f:
-        pos = jnp.concatenate([pos, jnp.repeat(pos[-1:], pad_f, axis=0)], axis=0)
-        boxes = jnp.concatenate([boxes, jnp.repeat(boxes[-1:], pad_f, axis=0)], axis=0)
-        mask = jnp.concatenate([mask, jnp.zeros((pad_f, n), bool)], axis=0)
-    if pad_n:
-        pos = jnp.concatenate(
-            [pos, jnp.full((pos.shape[0], pad_n, 3), jnp.nan, pos.dtype)], axis=1
-        )
-        mask = jnp.concatenate(
-            [mask, jnp.zeros((pos.shape[0], pad_n), bool)], axis=1
-        )
+    n = pos.shape[1]
+    mask3 = jnp.ones((pos.shape[0], 1, n), bool)  # (F, 1, N) for _pad_for_mesh
+    pos, boxes, mask3, f = _pad_for_mesh(pos, boxes, mask3, mesh)
     q, mean_q, hist = _sharded_q_analysis_masked(
-        pos, boxes, mask, mesh, low_cut, high_cut, n_bins, row_block
+        pos, boxes, mask3[:, 0, :], mesh, low_cut, high_cut, n_bins, row_block
     )
     return q[:f, :n], mean_q[:f], hist
 
