@@ -465,16 +465,28 @@ def _run_chunked(
     frame0 = 0
     resume_from = 0
     last_ck = -1.0e18  # first chunk always checkpoints
-    traj_id = ""
-    if isinstance(traj_file, str):
+    if isinstance(traj_file, (str, os.PathLike)):
+        p = os.fspath(traj_file)
         try:
-            st = os.stat(traj_file)
-            traj_id = f"{traj_file}:{st.st_size}:{int(st.st_mtime)}"
+            st = os.stat(p)
+            traj_id = f"{p}:{st.st_size}:{int(st.st_mtime)}"
         except OSError:
-            traj_id = str(traj_file)
-    sig = hashlib.sha256(
-        repr((traj_id, tuple(fp_params), wat_res)).encode()
-    ).digest()[:8]
+            traj_id = p
+    elif isinstance(traj_file, Trajectory):
+        tp = np.asarray(traj_file.positions)
+        traj_id = (
+            f"mem:{traj_file.n_frames}:{traj_file.n_atoms}:"
+            f"{tp[0, 0].tobytes().hex()}:{tp[-1, -1].tobytes().hex()}"
+        )
+    else:
+        traj_id = repr(type(traj_file))
+    h = hashlib.sha256(repr((traj_id, tuple(fp_params), wat_res)).encode())
+    if sub_inds is not None:  # population assignments shape the carry too
+        for frame_pops in sub_inds:
+            for pop in frame_pops:
+                h.update(np.asarray(pop, np.int64).tobytes())
+            h.update(b"|")
+    sig = h.digest()[:8]
     fp = np.concatenate(
         [np.array([chunk_frames, stride, n_pops, nw], np.int64),
          np.frombuffer(sig, np.int64)]
@@ -804,46 +816,32 @@ def hex_order_calc(
     trajectory streams in chunks (io/streaming.py); with `mesh` the psi
     computation shards over the ('frames', 'atoms') device mesh.
     """
-    n_bins0, lo0, hi0 = 500, 0.0, 1.0
+    n_bins, lo, hi = 500, 0.0, 1.0
+    core = lambda ep, b, m: _psi_core(  # noqa: E731 — shared by both paths
+        ep, b, m, low_cut, high_cut, max_neighbors, row_block,
+        n_bins, lo, hi, mesh=mesh,
+    )
     if chunk_frames is not None:
         hist, (avg_psi, var_psi) = _run_chunked(
             top_file, traj_file, sub_inds, n_pops, end_res, stride, chunk_frames,
-            lambda ep, b, m: _psi_core(
-                ep, b, m, low_cut, high_cut, max_neighbors, row_block,
-                n_bins0, lo0, hi0, mesh=mesh,
-            ),
-            n_carry=1, n_stats=2,
+            core, n_carry=1, n_stats=2,
             fp_params=("psi", low_cut, high_cut, max_neighbors),
             center_select=lambda t: np.asarray(t.get_wat_inds(end_res)[0])[1::2],
         )
-        hist = np.asarray(hist)
-        for j in range(n_pops + 1):
-            _save_hist(
-                os.path.join(output_dir, f"psiDistribution_{j}.txt"),
-                hist[j], n_bins0, lo0, hi0, "psiVal    frequency",
-            )
-        return (
-            _mean_ci_rows(np.asarray(avg_psi), seed),
-            _mean_ci_rows(np.asarray(var_psi), seed),
-        )
+    else:
+        top, traj = _resolve_system(top_file, traj_file, stride)
+        end_inds, _, _ = top.get_wat_inds(end_res)
+        end_inds = end_inds[1::2]
+        F = traj.n_frames
+        ne = len(end_inds)
+        end_pos = jnp.asarray(traj.positions[:, end_inds, :])
+        boxes = jnp.asarray(traj.boxes)
+        row_map = _row_of_atom(end_inds, top.n_atoms)
+        pops = pop_masks_from_subinds(sub_inds, F, n_pops, row_map, ne)
+        all_mask = np.ones((F, 1, ne), dtype=bool)
+        masks = jnp.asarray(np.concatenate([all_mask, pops], axis=1))
+        hist, (avg_psi, var_psi) = core(end_pos, boxes, masks)
 
-    top, traj = _resolve_system(top_file, traj_file, stride)
-    end_inds, _, _ = top.get_wat_inds(end_res)
-    end_inds = end_inds[1::2]
-    F = traj.n_frames
-    ne = len(end_inds)
-    end_pos = jnp.asarray(traj.positions[:, end_inds, :])
-    boxes = jnp.asarray(traj.boxes)
-    row_map = _row_of_atom(end_inds, top.n_atoms)
-    pops = pop_masks_from_subinds(sub_inds, F, n_pops, row_map, ne)
-    all_mask = np.ones((F, 1, ne), dtype=bool)
-    masks = jnp.asarray(np.concatenate([all_mask, pops], axis=1))
-    n_bins, lo, hi = 500, 0.0, 1.0
-
-    hist, (avg_psi, var_psi) = _psi_core(
-        end_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block,
-        n_bins, lo, hi, mesh=mesh,
-    )
     hist = np.asarray(hist)
     for j in range(n_pops + 1):
         _save_hist(

@@ -143,16 +143,14 @@ def write_mdcrd(path: str, traj: Trajectory, title: str = "waterorderlib_tpu"):
     prints '********'); we raise instead — wrap the trajectory (e.g.
     np.mod(pos, box)) before writing unwrapped coordinates."""
     lo, hi = -999.9995, 9999.9995  # rounds to within 8 chars at %.3f
-    vals = [traj.positions]
-    if bool(np.all(traj.boxes > 0)):
-        vals.append(traj.boxes)
+    has_box = bool(np.all(traj.boxes > 0))
+    vals = [traj.positions] + ([traj.boxes] if has_box else [])
     for v in vals:
         if np.min(v) <= lo or np.max(v) >= hi:
             raise ValueError(
                 "coordinate outside the F8.3 field (-999.999..9999.999); "
                 "wrap positions into the box before writing mdcrd"
             )
-    has_box = bool(np.all(traj.boxes > 0))
 
     def lines(flat):
         return "".join(
