@@ -294,3 +294,19 @@ def test_density_grid_mesh_around_solute():
     )
     # an isosurface exists at a level inside the field's range
     assert len(faces) > 0
+
+
+def test_mdcrd_rejects_field_overflow(tmp_path):
+    """Coordinates outside the F8.3 field must raise at write time instead
+    of silently corrupting the fixed-width layout."""
+    import pytest
+
+    from waterorderlib_tpu.io import mdcrd
+    from waterorderlib_tpu.io.trajectory import Trajectory
+
+    bad = Trajectory(
+        np.full((1, 4, 3), -1000.5, np.float32),  # "-1000.500" = 9 chars
+        np.full((1, 3), 20.0, np.float32),
+    )
+    with pytest.raises(ValueError, match="F8.3"):
+        mdcrd.write_mdcrd(str(tmp_path / "bad.mdcrd"), bad)

@@ -219,3 +219,56 @@ def test_chem_pot_chunked_bitmatches(tmp_path):
         np.loadtxt(tmp_path / "a" / "HS-solute_overlap_hist.txt"),
         np.loadtxt(tmp_path / "b" / "HS-solute_overlap_hist.txt"),
     )
+
+
+def test_checkpoint_rejects_stale_trajectory(tmp_path):
+    """A checkpoint written against one trajectory must NOT be resumed when
+    the run points at a different trajectory or different cutoffs — the
+    fingerprint covers trajectory identity and analysis parameters."""
+    import os
+
+    from waterorderlib_tpu.io import netcdf as nc_mod
+
+    top, traj_a = make_water_box(N_WAT, n_frames=N_FRAMES, seed=61)
+    _, traj_b = make_water_box(N_WAT, n_frames=N_FRAMES, seed=62)
+    pa = str(tmp_path / "a.nc")
+    pb = str(tmp_path / "b.nc")
+    nc_mod.write_amber_netcdf(pa, traj_a)
+    nc_mod.write_amber_netcdf(pb, traj_b)
+    ck = str(tmp_path / "ck.npz")
+
+    # interrupt a run over trajectory A after the first chunk
+    calls = {"n": 0}
+    orig = orderparams._tet_core
+
+    def failing(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("injected")
+        return orig(*a, **k)
+
+    orderparams._tet_core = failing
+    try:
+        try:
+            orderparams.tet_order_calc(
+                top, pa, output_dir=str(tmp_path), row_block=16,
+                chunk_frames=3, checkpoint=ck,
+            )
+        except RuntimeError:
+            pass
+    finally:
+        orderparams._tet_core = orig
+    assert os.path.exists(ck)
+
+    # clean run over trajectory B with the same checkpoint path: A's partial
+    # state must be discarded, so the result equals a no-checkpoint run
+    (tmp_path / "want").mkdir()
+    (tmp_path / "got").mkdir()
+    want_avg, _ = orderparams.tet_order_calc(
+        top, pb, output_dir=str(tmp_path / "want"), row_block=16, chunk_frames=3
+    )
+    got_avg, _ = orderparams.tet_order_calc(
+        top, pb, output_dir=str(tmp_path / "got"), row_block=16,
+        chunk_frames=3, checkpoint=ck,
+    )
+    np.testing.assert_array_equal(np.asarray(want_avg[0]), np.asarray(got_avg[0]))
