@@ -539,3 +539,30 @@ def test_hbond_slab_matches_dense():
     _, _, cov_small = hbond_counts_slab(acc, don, donh, box, 3.5, 120.0,
                                         window=512, pad=pad)
     assert not bool(cov_small)
+
+
+@needs_tpu
+def test_qtet_hbm_bit_matches_chunked():
+    """The HBM-resident kernel (DMA'd coordinate slabs) must be bit-equal
+    to the VMEM-chunked kernel for the same window."""
+    from waterorderlib_tpu.ops.pallas import qtet_chunked, qtet_hbm
+    from waterorderlib_tpu.ops.pallas.slab import suggest_pad
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n, f = 4096, 2
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    rs = np.random.RandomState(29)
+    base = water_oxygen_lattice(n, box_len, seed=29)
+    pos = jnp.asarray(
+        np.stack([np.mod(base + rs.normal(scale=0.1, size=base.shape), box_len)
+                  for _ in range(f)]), jnp.float32)
+    boxes = jnp.asarray(np.tile(np.array([box_len] * 3, np.float32), (f, 1)))
+    pad = suggest_pad(n, box_len, 6.5)
+    for window in (1536, 3072):
+        qc, okc, covc = qtet_chunked.order_param_q_traj_chunked(
+            pos, boxes, 0.0, 10.0, row_tile=128, window=window, pad=pad, seg=1536)
+        qh, okh, covh = qtet_hbm.order_param_q_traj_hbm(
+            pos, boxes, 0.0, 10.0, row_tile=128, window=window, pad=pad, seg=1536)
+        assert bool(np.asarray(covc).all()) and bool(np.asarray(covh).all())
+        np.testing.assert_array_equal(np.asarray(qc), np.asarray(qh))
+        np.testing.assert_array_equal(np.asarray(okc), np.asarray(okh))

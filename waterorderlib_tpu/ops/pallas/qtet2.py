@@ -268,11 +268,19 @@ def order_param_q_certified(
                 row_tile=row_tile, window=window, pad=pad,
             )
         else:
-            from waterorderlib_tpu.ops.pallas.qtet_chunked import (
-                order_param_q_traj_chunked,
-            )
+            if n > 450_000:
+                # beyond ~0.5M atoms even the chunked kernel's VMEM-resident
+                # coordinates + whole-frame outputs overflow; stream the
+                # coordinates from HBM instead (bit-identical)
+                from waterorderlib_tpu.ops.pallas.qtet_hbm import (
+                    order_param_q_traj_hbm as chunked_fn,
+                )
+            else:
+                from waterorderlib_tpu.ops.pallas.qtet_chunked import (
+                    order_param_q_traj_chunked as chunked_fn,
+                )
 
-            q, ok, cov = order_param_q_traj_chunked(
+            q, ok, cov = chunked_fn(
                 pos, boxes, low_cut, high_cut, margin=margin,
                 row_tile=128, window=window, pad=pad,
             )
