@@ -566,3 +566,30 @@ def test_qtet_hbm_bit_matches_chunked():
         assert bool(np.asarray(covc).all()) and bool(np.asarray(covh).all())
         np.testing.assert_array_equal(np.asarray(qc), np.asarray(qh))
         np.testing.assert_array_equal(np.asarray(okc), np.asarray(okh))
+
+
+@needs_tpu
+def test_angles_hbm_bit_matches_chunked():
+    """The HBM-resident 3-body kernel must be bit-equal to the VMEM-chunked
+    kernel for the same window."""
+    from waterorderlib_tpu.ops.pallas import angles_chunked, angles_hbm
+    from waterorderlib_tpu.ops.pallas.slab import suggest_pad
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n, f = 4096, 2
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    rs = np.random.RandomState(31)
+    base = water_oxygen_lattice(n, box_len, seed=31)
+    pos = jnp.asarray(
+        np.stack([np.mod(base + rs.normal(scale=0.1, size=base.shape), box_len)
+                  for _ in range(f)]), jnp.float32)
+    boxes = jnp.asarray(np.tile(np.array([box_len] * 3, np.float32), (f, 1)))
+    pad = suggest_pad(n, box_len, 6.5)
+    for window in (1536, 3072):
+        a1, c1, v1 = angles_chunked.neighbor_pair_angles_traj_chunked(
+            pos, boxes, 0.0, 3.413, window=window, pad=pad, seg=1536, row_tile=128)
+        a2, c2, v2 = angles_hbm.neighbor_pair_angles_traj_hbm(
+            pos, boxes, 0.0, 3.413, window=window, pad=pad, seg=1536, row_tile=128)
+        assert bool(np.asarray(v1).all()) and bool(np.asarray(v2).all())
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))

@@ -292,10 +292,19 @@ def _three_body_core(
                     wat_pos, boxes, low_cut, high_cut, window=window, pad=pad,
                 )
             else:
-                # 100k+ atoms: window-chunked carry variant (bit-identical)
-                from waterorderlib_tpu.ops.pallas import angles_chunked
+                # 100k+ atoms: window-chunked carry variant; past ~400k the
+                # chunked kernel's VMEM-resident coordinates overflow too, so
+                # stream them from HBM (both bit-identical to the monolithic)
+                if nw > 400_000:
+                    from waterorderlib_tpu.ops.pallas.angles_hbm import (
+                        neighbor_pair_angles_traj_hbm as chunked_fn,
+                    )
+                else:
+                    from waterorderlib_tpu.ops.pallas.angles_chunked import (
+                        neighbor_pair_angles_traj_chunked as chunked_fn,
+                    )
 
-                ang, cnt, covered = angles_chunked.neighbor_pair_angles_traj_chunked(
+                ang, cnt, covered = chunked_fn(
                     wat_pos, boxes, low_cut, high_cut, window=window, pad=pad,
                 )
         except Exception:
