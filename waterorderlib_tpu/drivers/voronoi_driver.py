@@ -22,6 +22,30 @@ from waterorderlib_tpu.drivers.orderparams import _resolve_system, _save_hist
 from waterorderlib_tpu.drivers.hbonds_driver import get_bound_wrap
 from waterorderlib_tpu.stats import blocks
 from waterorderlib_tpu.surface.voronoi import voronoi_contacts, voronoi_volumes
+from waterorderlib_tpu.utils.logging import get_logger
+
+# point count above which "auto" switches from the host Qhull tessellation
+# to the certified device cells (surface/voronoi_device.py); below it the
+# host path is both exact in f64 and faster than a TPU round-trip
+_DEVICE_MIN_POINTS = 2048
+
+
+def _pick_engine(engine: str, n_points: int) -> str:
+    if engine == "auto":
+        return "device" if n_points >= _DEVICE_MIN_POINTS else "host"
+    if engine not in ("host", "device"):
+        raise ValueError(f"engine must be auto|host|device, got {engine!r}")
+    return engine
+
+
+_logged_engines = set()
+
+
+def _log_engine_once(driver: str, engine: str, extra: str = ""):
+    key = (driver, engine)
+    if key not in _logged_engines:
+        _logged_engines.add(key)
+        get_logger().info("%s: voronoi engine=%s%s", driver, engine, extra)
 
 
 def _masked_stats(vals):
@@ -40,11 +64,16 @@ def voronoi_calc(
     stride: int = 1,
     output_dir: str = ".",
     seed: int | None = 0,
+    engine: str = "auto",
 ):
     """Per-water Voronoi volume/area/asphericity eta = A^3/(36 pi V^2)
     (orderParam_lib.py:964-1111). Returns (avgVol, varVol, avgArea, varArea,
     avgEta, varEta), each [means (P+1,), CIs (P+1,)]; writes
-    {Vol,Area,Eta}Distribution_j.txt."""
+    {Vol,Area,Eta}Distribution_j.txt.
+
+    engine: "host" = Qhull tessellation (f64-exact); "device" = certified
+    TPU cells (surface/voronoi_device.py) with per-atom host fallback;
+    "auto" = device at >= 2048 points."""
     top, traj = _resolve_system(top_file, traj_file, stride)
     wat_inds, _, _ = top.get_wat_inds(wat_res)
     sol_inds, *_ = top.get_sol_inds(wat_res)
@@ -52,6 +81,10 @@ def voronoi_calc(
     F = traj.n_frames
     nw = len(wat_inds)
     row_of_wat = {int(w): i for i, w in enumerate(wat_inds)}
+    eng = _pick_engine(engine, len(heavy))
+    _log_engine_once("voronoi_calc", eng)
+    if eng == "device":
+        from waterorderlib_tpu.surface.voronoi_device import voronoi_volumes_hybrid
 
     stats = {k: np.zeros((F, n_pops + 1)) for k in
              ("avgV", "varV", "avgA", "varA", "avgE", "varE")}
@@ -60,7 +93,15 @@ def voronoi_calc(
     for t in range(F):
         pos = traj.positions[t].astype(np.float64)
         box_l = float(traj.boxes[t][0])
-        vol, area = voronoi_volumes(pos[heavy], box_l, nw)
+        if eng == "device":
+            vol, area, n_cert = voronoi_volumes_hybrid(pos[heavy], box_l, nw)
+            if t == 0:
+                _log_engine_once(
+                    "voronoi_calc.cert", "device",
+                    f" ({n_cert}/{nw} cells device-certified on frame 0)",
+                )
+        else:
+            vol, area = voronoi_volumes(pos[heavy], box_l, nw)
         eta = np.where(
             np.isinf(vol) | np.isinf(area), np.inf, area**3 / (36.0 * np.pi * np.maximum(vol, 1e-300) ** 2)
         )
@@ -107,6 +148,7 @@ def contact_area_calc(
     hb_dist: float = 3.0,
     hb_ang: float = 150.0,
     seed: int | None = 0,
+    engine: str = "auto",
 ):
     """Fraction of the solute's Voronoi surface in contact with
     phobic/philic/bound/wrap atoms (orderParam_lib.py:1794-1942).
@@ -115,7 +157,9 @@ def contact_area_calc(
     ordering: totArea = [tot, phobic, philic, bound, wrap];
     fracArea = [phobic, philic, bound, wrap]. Contact areas are halved to
     undo the double-sided hull.area convention (ref getTotArea :1899-1910);
-    intra-solute-residue contacts are excluded from the target sums."""
+    intra-solute-residue contacts are excluded from the target sums.
+
+    engine: "host" (Qhull) | "device" (certified TPU cells) | "auto"."""
     top, traj = _resolve_system(top_file, traj_file, stride)
     heavy = top.get_heavy_inds()
     wat_inds, wat_h, len_wat = top.get_wat_inds(wat_res)
@@ -154,10 +198,25 @@ def contact_area_calc(
             tot_target += row[mask].sum() / 2.0
         return (tot_target, tot) if with_total else tot_target
 
+    eng = _pick_engine(engine, len(heavy))
+    _log_engine_once("contact_area_calc", eng)
+    if eng == "device":
+        from waterorderlib_tpu.surface.voronoi_device import voronoi_contacts_hybrid
+
     for t in range(F):
         pos = traj.positions[t].astype(np.float64)
         box_l = float(traj.boxes[t][0])
-        contacts, _, _, _ = voronoi_contacts(pos[heavy], box_l, len(heavy))
+        if eng == "device":
+            contacts, _, _, _, n_cert = voronoi_contacts_hybrid(
+                pos[heavy], box_l, len(heavy)
+            )
+            if t == 0:
+                _log_engine_once(
+                    "contact_area_calc.cert", "device",
+                    f" ({n_cert}/{len(heavy)} cells device-certified on frame 0)",
+                )
+        else:
+            contacts, _, _, _ = voronoi_contacts(pos[heavy], box_l, len(heavy))
         bound_rows = to_rows(bw[t][0])
         wrap_rows = to_rows(bw[t][1])
         out["phobic"][t], out["tot"][t] = tot_area(contacts, phobic_rows, with_total=True)
@@ -182,6 +241,7 @@ def hydrated_volume_calc(
     wat_res: str = "WAT",
     stride: int = 1,
     seed: int | None = 0,
+    engine: str = "auto",
 ):
     """Completed hydratedVolumeCalc (the reference's is WIP,
     orderParam_lib.py:1113-1267): per-frame total Voronoi cell volume and
@@ -195,12 +255,21 @@ def hydrated_volume_calc(
     F = traj.n_frames
     vols = np.zeros(F)
     areas = np.zeros(F)
+    eng = _pick_engine(engine, len(heavy))
+    _log_engine_once("hydrated_volume_calc", eng)
+    if eng == "device":
+        from waterorderlib_tpu.surface.voronoi_device import voronoi_contacts_hybrid
     for t in range(F):
         pos = traj.positions[t].astype(np.float64)
         box_l = float(traj.boxes[t][0])
-        contacts, atom_area, wat_area, atom_vol = voronoi_contacts(
-            pos[heavy], box_l, len(heavy)
-        )
+        if eng == "device":
+            contacts, atom_area, wat_area, atom_vol, _ = voronoi_contacts_hybrid(
+                pos[heavy], box_l, len(heavy)
+            )
+        else:
+            contacts, atom_area, wat_area, atom_vol = voronoi_contacts(
+                pos[heavy], box_l, len(heavy)
+            )
         vols[t] = atom_vol[0, sol_rows].sum()
         areas[t] = wat_area[0, sol_rows].sum()
     return blocks.mean_and_ci(vols, seed=seed), blocks.mean_and_ci(areas, seed=seed)
