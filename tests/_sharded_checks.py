@@ -206,6 +206,37 @@ def check_hb_mesh(df, da, tmp="/tmp/_sharded_hb_check"):
     print(f"hb mesh option {df}x{da}: ok")
 
 
+def check_chempot_mesh(df, da, tmp="/tmp/_sharded_chempot_check"):
+    """chem_pot_calc(mesh=...) frame-DP sharding bit-matches single-device:
+    the overlap histogram is a psum of frame-local histograms whose PRNG
+    keys are indexed by global frame."""
+    import os
+    import shutil
+    from waterorderlib_tpu.io.synthetic import make_water_box
+    from waterorderlib_tpu.drivers.chempot import chem_pot_calc
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp + "/a")
+    os.makedirs(tmp + "/b")
+    top, traj = make_water_box(24, n_frames=5, seed=65, solute_elements=["C"])
+    m = pmesh.make_mesh(df, da)
+    for kw in (False, True):
+        mu_a, n_a, n2_a = chem_pot_calc(
+            top, traj, keyword=kw, n_insertions=1000, output_dir=tmp + "/a"
+        )
+        mu_b, n_b, n2_b = chem_pot_calc(
+            top, traj, keyword=kw, n_insertions=1000, output_dir=tmp + "/b", mesh=m
+        )
+        assert n_a == n_b and n2_a == n2_b, (kw, n_a, n_b)
+        assert (mu_a == mu_b) or (np.isinf(mu_a) and np.isinf(mu_b))
+        fn = "HS-solute_overlap_hist_Shell.txt" if kw else "HS-solute_overlap_hist.txt"
+        ha = np.loadtxt(tmp + "/a/" + fn)
+        hb = np.loadtxt(tmp + "/b/" + fn)
+        np.testing.assert_array_equal(ha, hb)
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(f"chempot mesh option {df}x{da}: ok")
+
+
 def check_driver_mesh_option(df, da, tmp="/tmp/_sharded_driver_check"):
     """tet_order_calc(mesh=...) shards the q computation across the device
     mesh and matches the single-device driver exactly."""
@@ -244,6 +275,7 @@ def main():
     check_three_body_analysis(2, 4)
     check_rdf_mesh(4, 2)
     check_hb_mesh(4, 2)
+    check_chempot_mesh(4, 2)
     check_driver_mesh_option(4, 2)
     print("sharded checks: all ok")
 

@@ -49,11 +49,17 @@ def chem_pot_calc(
     seed: int = 0,
     output_dir: str = ".",
     chunk_frames: int | None = None,
+    mesh=None,
 ):
     """Returns (muHS, avgN, avgN2); writes HS-solute_overlap_hist[_Shell].txt.
     With `chunk_frames` the trajectory streams in chunks (io/streaming.py);
     per-frame PRNG keys are indexed by global frame, so chunked results
-    bit-match the single-shot run."""
+    bit-match the single-shot run. With `mesh` (parallel.mesh.make_mesh)
+    frames shard over the whole device mesh as data parallelism (SURVEY
+    §2c DP row) — insertions are frame-local, so the overlap histogram is a
+    psum of per-shard histograms; padded frames carry weight 0 and the
+    global-frame key indexing keeps sharded results bit-matching the
+    single-device run."""
     if chunk_frames is not None:
         from waterorderlib_tpu.io.topology import Topology
         from waterorderlib_tpu.io.trajectory import load_topology
@@ -73,13 +79,13 @@ def chem_pot_calc(
     ins_block = 2048  # insertions processed per device step
 
     @jax.jit
-    def run(heavy_pos, boxes, frame_keys, sol_pos=None):
+    def run(heavy_pos, boxes, frame_keys, sol_pos=None, frame_w=None):
         def one_frame(carry, frame):
             if sol_pos is None:
-                hp, box, k = frame
+                hp, box, k, w = frame
                 sp = None
             else:
-                hp, box, k, sp = frame
+                hp, box, k, w, sp = frame
 
             def one_block(carry2, kb):
                 hist_acc, n_acc = carry2
@@ -119,12 +125,59 @@ def chem_pot_calc(
             (hist, _), _ = jax.lax.scan(
                 one_block, (jnp.zeros(max_overlap, jnp.float32), jnp.int32(0)), keys
             )
-            return carry + hist, None
+            return carry + w * hist, None
 
-        xs = (heavy_pos, boxes, frame_keys) if sol_pos is None else (
-            heavy_pos, boxes, frame_keys, sol_pos
+        w_all = frame_w if frame_w is not None else jnp.ones(
+            heavy_pos.shape[0], jnp.float32
+        )
+        xs = (heavy_pos, boxes, frame_keys, w_all) if sol_pos is None else (
+            heavy_pos, boxes, frame_keys, w_all, sol_pos
         )
         return jax.lax.scan(one_frame, jnp.zeros(max_overlap, jnp.float32), xs)[0]
+
+    if mesh is not None:
+        from functools import partial as _partial
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as _P
+
+        run_local = run
+
+        @jax.jit
+        def run_sharded(heavy_pos, boxes, frame_keys, frame_w, sol_pos=None):
+            def local(hp, bx, fk, w, *sp):
+                hist = run_local(hp, bx, fk, sp[0] if sp else None, w)
+                return jax.lax.psum(hist, ("frames", "atoms"))
+
+            fspec = _P(("frames", "atoms"))
+            in_specs = [
+                _P(("frames", "atoms"), None, None),
+                _P(("frames", "atoms"), None),
+                fspec, fspec,
+            ]
+            args = [heavy_pos, boxes, frame_keys, frame_w]
+            if sol_pos is not None:
+                in_specs.append(_P(("frames", "atoms"), None, None))
+                args.append(sol_pos)
+            return shard_map(
+                local, mesh=mesh, in_specs=tuple(in_specs), out_specs=_P(),
+                check_vma=False,
+            )(*args)
+
+        def run(heavy_pos, boxes, frame_keys, sol_pos=None, frame_w=None):  # noqa: F811
+            f = heavy_pos.shape[0]
+            n_dev = mesh.devices.size
+            pad_f = (-f) % n_dev
+            w = jnp.ones(f, jnp.float32) if frame_w is None else frame_w
+            if pad_f:
+                rep = lambda x: jnp.concatenate(
+                    [x, jnp.repeat(x[-1:], pad_f, axis=0)], axis=0
+                )
+                heavy_pos, boxes, frame_keys = rep(heavy_pos), rep(boxes), rep(frame_keys)
+                if sol_pos is not None:
+                    sol_pos = rep(sol_pos)
+                w = jnp.concatenate([w, jnp.zeros(pad_f, jnp.float32)])
+            return run_sharded(heavy_pos, boxes, frame_keys, w, sol_pos)
 
     if chunk_frames is not None:
         from waterorderlib_tpu.io.streaming import iter_chunks
