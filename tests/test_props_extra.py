@@ -178,3 +178,43 @@ def test_pdb_writer(tmp_path):
     text = open(p).read()
     assert "BND" in text and "WRP" in text and "CRYST1" in text
     assert text.count("ATOM") == 9
+
+
+def test_spherical_coeffs_scipy_oracle_l12():
+    """Full l<=12 table vs scipy.special.sph_harm on random geometry — the
+    batched m-column Legendre recursion must match the serial oracle."""
+    import scipy.special as sps
+
+    rs = np.random.RandomState(7)
+    n = 40
+    box_l = 12.0
+    pos = rs.uniform(0, box_l, (n, 3)).astype(np.float32)
+    box = jnp.array([box_l] * 3, jnp.float32)
+    max_l = 12
+    coeffs, counts = sphharm.spherical_fourier_coeffs(
+        jnp.asarray(pos), jnp.asarray(pos), box,
+        high_cut=5.0, min_degree=0, max_degree=max_l, k=48,
+    )
+    # host oracle on the same neighbor sets
+    from waterorderlib_tpu.ops import pairs as _pairs
+    from waterorderlib_tpu.core import pbc as _pbc
+
+    nl = _pairs.topk_neighbors(jnp.asarray(pos), jnp.asarray(pos), box, k=48,
+                               low_cut=0.0, high_cut=5.0)
+    assert int(np.asarray(nl.count).max()) <= 48  # every shell neighbor kept
+    rel = np.asarray(_pbc.minimum_image(pos[np.asarray(nl.idx)] - pos[:, None, :], box))
+    valid = np.asarray(nl.valid)
+    for i in range(0, n, 7):
+        rr = rel[i][valid[i]]
+        r = np.linalg.norm(rr, axis=-1)
+        polar = np.arccos(np.clip(rr[:, 2] / r, -1, 1))
+        azim = np.arctan2(rr[:, 1], rr[:, 0])
+        if hasattr(sps, "sph_harm_y"):  # scipy >= 1.15
+            oracle = lambda m, l, az, po: sps.sph_harm_y(l, m, po, az)
+        else:
+            oracle = sps.sph_harm
+        for l in (0, 3, 7, 12):
+            for m in range(-l, l + 1):
+                want = np.mean(oracle(m, l, azim, polar))
+                got = coeffs[i, l, l + m]
+                assert abs(got - want) < 5e-4, (i, l, m, got, want)

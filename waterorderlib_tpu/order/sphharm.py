@@ -10,7 +10,12 @@ array (row l holds its 2l+1 values left-aligned, zero-padded).
 
 The per-center Python loop + scipy.special.sph_harm of the reference becomes
 one batched associated-Legendre recursion over the fixed-K neighbor tensor.
-The device computation is entirely REAL float32 (this TPU backend does not
+The recursion is vectorized over the m axis: all m-columns advance their
+upward-in-l recurrence together on (M+1, Ns, K) tensors (13 fused steps for
+l <= 12 instead of ~91 per-(l, m) op chains — the round-2 serial version
+cost 153 ms/frame at 4k centers). Inactive columns (m > l) hold zeros until
+their seeding step, so no masking junk ever enters the recurrence. The
+device computation is entirely REAL float32 (this TPU backend does not
 implement complex arithmetic); real/imaginary parts are assembled into the
 complex result on the host.
 """
@@ -42,45 +47,86 @@ def _legendre_norms(max_degree: int) -> dict[tuple[int, int], float]:
     return norms
 
 
-def _sph_harm_table_real(polar: jnp.ndarray, azim: jnp.ndarray, max_degree: int):
-    """All Y_lm for l = 0..max_degree, m = -l..l, as {(l, m): (re, im)} pairs
-    of float32 arrays of polar.shape (Condon-Shortley phase, matching
-    scipy.special.sph_harm):
-      P_m^m     = (-1)^m (2m-1)!! (1-x^2)^(m/2)
-      P_{m+1}^m = x (2m+1) P_m^m
-      P_l^m     = ((2l-1) x P_{l-1}^m - (l+m-1) P_{l-2}^m) / (l-m)
-      Y_l^{-m}  = (-1)^m conj(Y_l^m)
+# Associated-Legendre recurrences used by the batched core below (Condon-
+# Shortley phase, matching scipy.special.sph_harm):
+#   P_m^m     = (-1)^m (2m-1)!! (1-x^2)^(m/2)
+#   P_{m+1}^m = x (2m+1) P_m^m
+#   P_l^m     = ((2l-1) x P_{l-1}^m - (l+m-1) P_{l-2}^m) / (l-m)
+#   Y_l^{-m}  = (-1)^m conj(Y_l^m)
+
+
+@partial(jax.jit, static_argnames=("max_degree", "k", "row_block"))
+def _coeff_sums_mpos(
+    sub: jnp.ndarray,
+    pos: jnp.ndarray,
+    box: jnp.ndarray,
+    low_cut: float,
+    high_cut: float,
+    max_degree: int,
+    k: int,
+    row_block: int,
+):
+    """Neighbor-averaged q_lm for m >= 0, all l at once.
+
+    Returns (re (L_all, M+1, Ns), im (L_all, M+1, Ns), counts (Ns,)) with
+    L_all = max_degree + 1; entries with m > l are zero. The m < 0 half
+    follows from Y_l^{-m} = (-1)^m conj(Y_l^m) and is assembled on host.
     """
-    x = jnp.cos(polar)
+    neigh = pairs.topk_neighbors(
+        sub, pos, box, k=k, low_cut=low_cut, high_cut=high_cut, row_block=row_block
+    )
+    rel = pbc.minimum_image(pos[neigh.idx] - sub[:, None, :], box)  # (Ns, K, 3)
+    r = jnp.linalg.norm(rel, axis=-1)
+    safe_r = jnp.where(r > 0, r, 1.0)
+    x = jnp.clip(rel[..., 2] / safe_r, -1.0, 1.0)  # cos(polar), (Ns, K)
+    azim = jnp.arctan2(rel[..., 1], rel[..., 0])
     sroot = jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0))
-    p: dict[tuple[int, int], jnp.ndarray] = {}
-    for m in range(max_degree + 1):
-        if m == 0:
-            pmm = jnp.ones_like(x)
-        else:
-            dfact = float(np.prod(np.arange(1, 2 * m, 2)))  # (2m-1)!!
-            pmm = ((-1.0) ** m) * dfact * sroot**m
-        p[(m, m)] = pmm
-        if m + 1 <= max_degree:
-            p[(m + 1, m)] = x * (2 * m + 1) * pmm
-        for l in range(m + 2, max_degree + 1):
-            p[(l, m)] = ((2 * l - 1) * x * p[(l - 1, m)] - (l + m - 1) * p[(l - 2, m)]) / (l - m)
 
-    norms = _legendre_norms(max_degree)
-    out: dict[tuple[int, int], tuple[jnp.ndarray, jnp.ndarray]] = {}
-    for l in range(max_degree + 1):
-        for m in range(0, l + 1):
-            base = norms[(l, m)] * p[(l, m)]
-            re = base * jnp.cos(m * azim)
-            im = base * jnp.sin(m * azim)
-            out[(l, m)] = (re, im)
-            if m > 0:
-                sgn = (-1.0) ** m
-                out[(l, -m)] = (sgn * re, -sgn * im)
-    return out
+    mm = max_degree
+    m_col = np.arange(mm + 1, dtype=np.float32)[:, None, None]  # (M+1, 1, 1)
+    dfact = np.array(
+        [np.prod(np.arange(1, 2 * m, 2)) for m in range(mm + 1)], np.float32
+    )
+    sign = np.array([(-1.0) ** m for m in range(mm + 1)], np.float32)
+    # P_m^m for every m at once: (-1)^m (2m-1)!! s^m, (M+1, Ns, K)
+    pmm = (sign * dfact)[:, None, None] * sroot[None] ** m_col
+    seed1 = x[None] * (2.0 * m_col + 1.0) * pmm  # P_{m+1}^m for every m
+
+    # weights for the neighbor average, shared by every (l, m)
+    w = neigh.valid.astype(jnp.float32)  # (Ns, K)
+    wn = w / jnp.maximum(neigh.count, 1)[:, None]
+    cosm = jnp.cos(m_col * azim[None])  # (M+1, Ns, K)
+    sinm = jnp.sin(m_col * azim[None])
+    norms_tbl = _legendre_norms(mm)
+    norms = np.zeros((mm + 1, mm + 1), np.float32)  # (l, m), 0 for m > l
+    for l in range(mm + 1):
+        for m in range(l + 1):
+            norms[l, m] = norms_tbl[(l, m)]
+
+    re_rows, im_rows = [], []
+    p_lm1 = jnp.zeros_like(pmm)  # P_{l-1} per m-column
+    p_lm2 = jnp.zeros_like(pmm)  # P_{l-2} per m-column
+    for l in range(mm + 1):
+        lm = jnp.asarray(np.maximum(l - np.arange(mm + 1, dtype=np.float32), 1.0))
+        gen = (
+            (2.0 * l - 1.0) * x[None] * p_lm1 - (l - 1.0 + m_col) * p_lm2
+        ) / lm[:, None, None]
+        is_mm = np.arange(mm + 1) == l
+        is_seed = np.arange(mm + 1) == l - 1
+        p_l = jnp.where(
+            jnp.asarray(is_mm)[:, None, None], pmm,
+            jnp.where(jnp.asarray(is_seed)[:, None, None], seed1, gen),
+        )
+        base = jnp.asarray(norms[l])[:, None, None] * p_l  # (M+1, Ns, K)
+        re_rows.append(jnp.einsum("mnk,nk->mn", base * cosm, wn))
+        im_rows.append(jnp.einsum("mnk,nk->mn", base * sinm, wn))
+        p_lm2 = p_lm1
+        p_lm1 = p_l
+    re = jnp.stack(re_rows, axis=0)  # (L_all, M+1, Ns)
+    im = jnp.stack(im_rows, axis=0)
+    return re, im, neigh.count
 
 
-@partial(jax.jit, static_argnames=("min_degree", "max_degree", "k", "row_block"))
 def spherical_fourier_coeffs_real(
     sub: jnp.ndarray,
     pos: jnp.ndarray,
@@ -92,34 +138,31 @@ def spherical_fourier_coeffs_real(
     k: int = 16,
     row_block: int = pairs.DEFAULT_ROW_BLOCK,
 ):
-    """Device core: returns (re (Ns, L, W), im (Ns, L, W), counts (Ns,))
-    as float32, with W = 2*max_degree + 1 and rows left-aligned."""
-    neigh = pairs.topk_neighbors(
-        sub, pos, box, k=k, low_cut=low_cut, high_cut=high_cut, row_block=row_block
+    """Returns (re (Ns, L, W), im (Ns, L, W), counts (Ns,)) as float32
+    numpy arrays, with W = 2*max_degree + 1 and rows left-aligned exactly
+    like the reference packing (water_properties.py:767-782)."""
+    re_p, im_p, counts = _coeff_sums_mpos(
+        jnp.asarray(sub), jnp.asarray(pos), jnp.asarray(box),
+        float(low_cut), float(high_cut), max_degree, k,
+        min(row_block, max(1, np.shape(sub)[0])),
     )
-    rel = pbc.minimum_image(pos[neigh.idx] - sub[:, None, :], box)  # (Ns, K, 3)
-    r = jnp.linalg.norm(rel, axis=-1)
-    safe_r = jnp.where(r > 0, r, 1.0)
-    polar = jnp.arccos(jnp.clip(rel[..., 2] / safe_r, -1.0, 1.0))  # (Ns, K)
-    azim = jnp.arctan2(rel[..., 1], rel[..., 0])
-
+    re_p = np.asarray(re_p)  # (L_all, M+1, Ns)
+    im_p = np.asarray(im_p)
+    ns = re_p.shape[2]
+    l_count = max_degree - min_degree + 1
     width = 2 * max_degree + 1
-    table = _sph_harm_table_real(polar, azim, max_degree)
-    w = neigh.valid.astype(jnp.float32)
-    denom = jnp.maximum(neigh.count, 1)
-    re_rows, im_rows = [], []
+    re = np.zeros((ns, l_count, width), np.float32)
+    im = np.zeros((ns, l_count, width), np.float32)
     for l in range(min_degree, max_degree + 1):
-        re_cols, im_cols = [], []
-        for m in range(-l, l + 1):
-            re, im = table[(l, m)]
-            re_cols.append(jnp.sum(re * w, axis=-1) / denom)
-            im_cols.append(jnp.sum(im * w, axis=-1) / denom)
-        zeros = jnp.zeros_like(re_cols[0])
-        re_cols += [zeros] * (width - (2 * l + 1))
-        im_cols += [zeros] * (width - (2 * l + 1))
-        re_rows.append(jnp.stack(re_cols, axis=-1))
-        im_rows.append(jnp.stack(im_cols, axis=-1))
-    return jnp.stack(re_rows, axis=1), jnp.stack(im_rows, axis=1), neigh.count
+        row = l - min_degree
+        for m in range(0, l + 1):
+            re[:, row, l + m] = re_p[l, m]
+            im[:, row, l + m] = im_p[l, m]
+            if m > 0:  # Y_l^{-m} = (-1)^m conj(Y_l^m)
+                sgn = (-1.0) ** m
+                re[:, row, l - m] = sgn * re_p[l, m]
+                im[:, row, l - m] = -sgn * im_p[l, m]
+    return re, im, counts
 
 
 def spherical_fourier_coeffs(
