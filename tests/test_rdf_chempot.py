@@ -66,3 +66,55 @@ def test_chem_pot_shell(tmp_path):
     # rejection resampling: exactly n_ins accepted insertions per frame
     # (orderParam_lib.py:1720-1732 semantics)
     assert h[:, 1].sum() == 4096
+
+
+def test_celllist_histogram_bit_matches_triangular():
+    """The large-N cell-list histogram must produce bit-identical counts to
+    the triangular sweep (same minimum-image arithmetic, same bins)."""
+    import jax.numpy as jnp
+    from waterorderlib_tpu.ops import pairs
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    rs = np.random.RandomState(0)
+    n = 5000
+    box_l = (n / 0.033456) ** (1.0 / 3.0)
+    base = np.asarray(water_oxygen_lattice(n, box_l, seed=1), np.float32)
+    pos = ((base + rs.normal(scale=0.6, size=base.shape)) % box_l).astype(np.float32)
+    box = jnp.array([box_l] * 3, jnp.float32)
+    c_tri = np.asarray(pairs.distance_histogram(
+        jnp.asarray(pos), jnp.asarray(pos), box, 0.1, 150, same=True))
+    c_cell = np.asarray(pairs.distance_histogram_celllist(
+        jnp.asarray(pos), box, 0.1, 150))
+    np.testing.assert_array_equal(c_tri, c_cell)
+
+
+def test_celllist_rejects_small_boxes():
+    import jax.numpy as jnp
+    import pytest
+    from waterorderlib_tpu.ops import pairs
+
+    rs = np.random.RandomState(1)
+    pos = rs.uniform(0, 20.0, (500, 3)).astype(np.float32)
+    with pytest.raises(ValueError):
+        # range 15 A needs >= 45 A of box
+        pairs.distance_histogram_celllist(
+            jnp.asarray(pos), jnp.array([20.0] * 3, jnp.float32), 0.1, 150)
+
+
+def test_celllist_cap_retry_on_dense_cluster():
+    """A dense cluster overflows the initial per-cell cap; the wrapper must
+    retry with a larger cap and still match the triangular sweep."""
+    import jax.numpy as jnp
+    from waterorderlib_tpu.ops import pairs
+
+    rs = np.random.RandomState(2)
+    box_l = 60.0
+    pos = rs.uniform(0, box_l, (4000, 3)).astype(np.float32)
+    # pack 800 atoms into one corner cell
+    pos[:800] = rs.uniform(0, 10.0, (800, 3)).astype(np.float32)
+    box = jnp.array([box_l] * 3, jnp.float32)
+    c_tri = np.asarray(pairs.distance_histogram(
+        jnp.asarray(pos), jnp.asarray(pos), box, 0.1, 100, same=True))
+    c_cell = np.asarray(pairs.distance_histogram_celllist(
+        jnp.asarray(pos), box, 0.1, 100))
+    np.testing.assert_array_equal(c_tri, c_cell)

@@ -104,6 +104,39 @@ def rdf_calc(
                 )
                 return g_ww, norm(c_ss, len(sol_inds)), norm(c_sw, len(sol_inds))
             return g_ww, np.zeros_like(g_ww), np.zeros_like(g_ww)
+        # large-N tier: the water-water sweep dominates (O(Nw^2/2) pairs x
+        # ~150 threshold compares); the cell-list histogram visits only the
+        # 27-cell neighborhoods (bit-identical counts). Needs the histogram
+        # range to fit >= 3 cells per box edge.
+        nw = len(wat_inds)
+        rmax = totbins * binwidth
+        use_cell = nw >= 32768 and float(np.min(boxes_b[0])) >= 3.0 * rmax
+        if use_cell:
+            g_ww = np.stack([
+                np.asarray(pairs.rdf_from_counts(
+                    pairs.distance_histogram_celllist(
+                        wat_pos[f], jnp.asarray(boxes_b[f]), binwidth, totbins
+                    ), nw, binwidth, 1.0,
+                ))
+                for f in range(wat_pos.shape[0])
+            ])
+            if len(sol_inds):
+                sol_pos = jnp.asarray(pos_b[:, sol_inds, :])
+
+                @jax.jit
+                def sol_curves(sol_pos, wat_pos, boxes):
+                    def one(carry, frame):
+                        s, w, box = frame
+                        g_ss = pairs.radial_dist_same(s, box, binwidth, totbins, 1.0)
+                        g_sw = pairs.radial_dist(s, w, box, binwidth, totbins, 1.0)
+                        return carry, (g_ss, g_sw)
+
+                    return jax.lax.scan(one, None, (sol_pos, wat_pos, boxes))[1]
+
+                g_ss, g_sw = (np.asarray(x) for x in
+                              sol_curves(sol_pos, wat_pos, boxes_d))
+                return g_ww, g_ss, g_sw
+            return g_ww, np.zeros_like(g_ww), np.zeros_like(g_ww)
         if len(sol_inds):
             sol_pos = jnp.asarray(pos_b[:, sol_inds, :])
             return tuple(np.asarray(x) for x in frame_rdfs(wat_pos, sol_pos, boxes_d))

@@ -33,6 +33,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from waterorderlib_tpu.core import pbc
 
 DEFAULT_ROW_BLOCK = 512
@@ -271,6 +273,111 @@ def distance_histogram(
 
     counts, _ = jax.lax.scan(one_block, jnp.zeros(nbins, jnp.float32), (jnp.arange(nblocks), blocks))
     return counts
+
+
+@partial(jax.jit, static_argnames=("nbins", "cells_per_dim", "cap"))
+def _hist_celllist(pos, box, binwidth, nbins, cells_per_dim, cap):
+    """Cell-list same-species histogram core. Returns (counts, max_cell).
+
+    Atoms are binned into a cells_per_dim^3 grid with cell edge >= the
+    histogram range, so only the 27 neighboring cells of each cell can hold
+    in-range pairs; the threshold-chain histogram then runs on
+    (cap, 27*cap) tiles instead of the full triangular N^2/2 sweep. Every
+    ordered pair is visited exactly once and the result halved (dsq values
+    are computed by the same minimum-image arithmetic as the triangular
+    path, so bins — and therefore counts — are bit-identical). max_cell is
+    the realized per-cell occupancy; the host wrapper retries with a larger
+    `cap` if it exceeds it (dropped atoms would otherwise lose pairs).
+    """
+    n = pos.shape[0]
+    cpd = cells_per_dim
+    cell_sz = box / cpd
+    ci = jnp.floor(pos / cell_sz).astype(jnp.int32) % cpd  # (n, 3)
+    cid = (ci[:, 0] * cpd + ci[:, 1]) * cpd + ci[:, 2]
+    order = jnp.argsort(cid)
+    pos_s = pos[order]
+    cid_s = cid[order]
+    ncells = cpd**3
+    cell_ids = jnp.arange(ncells, dtype=cid_s.dtype)
+    starts = jnp.searchsorted(cid_s, cell_ids)
+    ends = jnp.searchsorted(cid_s, cell_ids, side="right")
+    occupancy = (ends - starts).astype(jnp.int32)
+    max_cell = jnp.max(occupancy)
+
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    idx_tab = jnp.clip(starts[:, None].astype(jnp.int32) + slot[None, :], 0, n - 1)
+    valid_tab = slot[None, :] < occupancy[:, None]  # (ncells, cap)
+
+    # the 27 wrapped neighbor cell ids of every cell (includes itself)
+    offs = np.array(
+        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+         for dz in (-1, 0, 1)], np.int32,
+    )
+    gx, gy, gz = np.meshgrid(
+        np.arange(cpd), np.arange(cpd), np.arange(cpd), indexing="ij"
+    )
+    base = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], -1)  # (ncells, 3)
+    nb = (base[:, None, :] + offs[None, :, :]) % cpd  # (ncells, 27, 3)
+    neigh_cid = jnp.asarray(
+        (nb[..., 0] * cpd + nb[..., 1]) * cpd + nb[..., 2]
+    )  # (ncells, 27)
+
+    def one_cell(carry, c):
+        rows_idx = idx_tab[c]  # (cap,)
+        rows = pos_s[rows_idx]  # (cap, 3)
+        rv = valid_tab[c]  # (cap,)
+        nc = neigh_cid[c]  # (27,)
+        cols_idx = idx_tab[nc].reshape(-1)  # (27*cap,)
+        cols = pos_s[cols_idx]
+        cv = valid_tab[nc].reshape(-1)
+        dsq = pair_dist_sq(rows, cols, box)  # (cap, 27*cap)
+        mask = rv[:, None] & cv[None, :]
+        return carry + _hist_from_dsq(dsq, mask, binwidth, nbins), None
+
+    counts, _ = jax.lax.scan(
+        one_cell, jnp.zeros(nbins, jnp.float32), jnp.arange(ncells)
+    )
+    # ordered pairs counted once each way; self-pairs land in "bin -1"
+    # (zero distance) and are dropped by the ceiling-binning rule
+    return counts * 0.5, max_cell
+
+
+def distance_histogram_celllist(
+    pos,
+    box,
+    binwidth: float,
+    nbins: int,
+    cap: int | None = None,
+):
+    """Same-species pair-distance histogram via cell lists — the large-N
+    tier of `distance_histogram(same=True)` (host-level dispatch: retries
+    on cell overflow, so not jittable).
+
+    Requires the histogram range nbins*binwidth to fit >= 3 cells per box
+    edge; raises ValueError otherwise (caller falls back to the triangular
+    sweep). Bit-identical counts to the triangular path.
+    """
+    pos = jnp.asarray(pos)
+    box_arr = np.asarray(box, np.float64) * np.ones(3)
+    rmax = nbins * binwidth
+    cpd = int(np.floor(np.min(box_arr) / rmax))
+    if cpd < 3:
+        raise ValueError(
+            f"cell list needs >= 3 cells per edge (box {np.min(box_arr):.1f}, "
+            f"range {rmax:.1f})"
+        )
+    cpd = min(cpd, max(3, int(np.ceil(pos.shape[0] ** (1.0 / 3.0) / 2))))
+    mean_occ = pos.shape[0] / cpd**3
+    if cap is None:
+        cap = int(-(-1.6 * mean_occ // 8) * 8) + 8
+    while True:
+        counts, max_cell = _hist_celllist(
+            pos, jnp.asarray(box_arr, pos.dtype), binwidth, nbins, cpd, cap
+        )
+        mc = int(max_cell)
+        if mc <= cap:
+            return counts
+        cap = int(-(-1.2 * mc // 8) * 8)
 
 
 def rdf_from_counts(
