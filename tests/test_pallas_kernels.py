@@ -593,3 +593,59 @@ def test_angles_hbm_bit_matches_chunked():
         assert bool(np.asarray(v1).all()) and bool(np.asarray(v2).all())
         np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+@needs_tpu
+def test_lsi_hbm_bit_matches_chunked():
+    """The HBM-resident LSI kernel (imaged+raw coords in one 8-sublane DMA
+    stream) must be bit-equal to the VMEM-chunked kernel for the same
+    window."""
+    from waterorderlib_tpu.ops.pallas import lsi_chunked, lsi_hbm
+    from waterorderlib_tpu.ops.pallas.slab import suggest_pad
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n, f = 4096, 2
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    rs = np.random.RandomState(37)
+    base = water_oxygen_lattice(n, box_len, seed=37)
+    pos = jnp.asarray(
+        np.stack([np.mod(base + rs.normal(scale=0.1, size=base.shape), box_len)
+                  for _ in range(f)]), jnp.float32)
+    boxes = jnp.asarray(np.tile(np.array([box_len] * 3, np.float32), (f, 1)))
+    pad = suggest_pad(n, box_len, 3.7 + 3.7 + 2.0)
+    for window in (3072, 6144):
+        l1, ok1, c1, v1 = lsi_chunked.lsi_traj_chunked(
+            pos, boxes, 0.0, 3.7, window=window, pad=pad, seg=1536, row_tile=128)
+        l2, ok2, c2, v2 = lsi_hbm.lsi_traj_hbm(
+            pos, boxes, 0.0, 3.7, window=window, pad=pad, seg=1536, row_tile=128)
+        assert bool(np.asarray(v1).all()) and bool(np.asarray(v2).all())
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+        np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+@needs_tpu
+def test_psi6_hbm_bit_matches_chunked():
+    """The HBM-resident psi-6 kernel must be bit-equal to the VMEM-chunked
+    kernel for the same window."""
+    from waterorderlib_tpu.ops.pallas import psi6_chunked, psi6_hbm
+    from waterorderlib_tpu.ops.pallas.slab import suggest_pad
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n, f = 4096, 2
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    rs = np.random.RandomState(41)
+    base = water_oxygen_lattice(n, box_len, seed=41)
+    pos = jnp.asarray(
+        np.stack([np.mod(base + rs.normal(scale=0.1, size=base.shape), box_len)
+                  for _ in range(f)]), jnp.float32)
+    boxes = jnp.asarray(np.tile(np.array([box_len] * 3, np.float32), (f, 1)))
+    pad = suggest_pad(n, box_len, 9.0)
+    for window in (3072, 6144):
+        p1, c1, v1 = psi6_chunked.psi6_traj_chunked(
+            pos, boxes, 0.0, 7.0, window=window, pad=pad, seg=1536, row_tile=128)
+        p2, c2, v2 = psi6_hbm.psi6_traj_hbm(
+            pos, boxes, 0.0, 7.0, window=window, pad=pad, seg=1536, row_tile=128)
+        assert bool(np.asarray(v1).all()) and bool(np.asarray(v2).all())
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))

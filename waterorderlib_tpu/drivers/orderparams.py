@@ -683,11 +683,22 @@ def _lsi_core(wat_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block
                     wat_pos, boxes, low_cut, high_cut, window=window, pad=pad,
                 )
             else:
-                # 100k+ atoms: window-chunked carry variant (bit-identical)
-                from waterorderlib_tpu.ops.pallas import lsi_chunked
+                # 100k+ atoms: window-chunked carry variant; past ~400k the
+                # chunked kernel's VMEM-resident coordinates overflow too, so
+                # stream them from HBM (both bit-identical to the monolithic)
+                if nw > 400_000:
+                    from waterorderlib_tpu.ops.pallas.lsi_hbm import (
+                        lsi_traj_hbm as lsi_fn,
+                    )
 
-                tier = "chunked"
-                lsi_v, lsi_ok, _, covered = lsi_chunked.lsi_traj_chunked(
+                    tier = "hbm"
+                else:
+                    from waterorderlib_tpu.ops.pallas.lsi_chunked import (
+                        lsi_traj_chunked as lsi_fn,
+                    )
+
+                    tier = "chunked"
+                lsi_v, lsi_ok, _, covered = lsi_fn(
                     wat_pos, boxes, low_cut, high_cut, window=window, pad=pad,
                 )
         except KERNEL_FALLBACK_ERRORS as e:
@@ -833,11 +844,22 @@ def _psi_core(end_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block
                     end_pos, boxes, low_cut, high_cut, window=window, pad=pad,
                 )
             else:
-                # 100k+ atoms: window-chunked carry variant (bit-identical)
-                from waterorderlib_tpu.ops.pallas import psi6_chunked
+                # 100k+ atoms: window-chunked carry variant; past ~400k the
+                # chunked kernel's VMEM-resident coordinates overflow too, so
+                # stream them from HBM (both bit-identical to the monolithic)
+                if ne > 400_000:
+                    from waterorderlib_tpu.ops.pallas.psi6_hbm import (
+                        psi6_traj_hbm as psi_fn,
+                    )
 
-                tier = "chunked"
-                psi_v, _, covered = psi6_chunked.psi6_traj_chunked(
+                    tier = "hbm"
+                else:
+                    from waterorderlib_tpu.ops.pallas.psi6_chunked import (
+                        psi6_traj_chunked as psi_fn,
+                    )
+
+                    tier = "chunked"
+                psi_v, _, covered = psi_fn(
                     end_pos, boxes, low_cut, high_cut, window=window, pad=pad,
                 )
         except KERNEL_FALLBACK_ERRORS as e:

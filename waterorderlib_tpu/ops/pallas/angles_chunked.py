@@ -35,6 +35,7 @@ from waterorderlib_tpu.ops.pallas.angles_kernel import (
     _acos,
 )
 from waterorderlib_tpu.ops.pallas.slab import (
+    clamp_window,
     extract_k_min,
     merge_k_min,
     slab_prep_traj,
@@ -148,7 +149,7 @@ def neighbor_pair_angles_traj_chunked(
         if margin < high_cut:
             raise ValueError("slab margin must cover the shell cutoff")
     F, n = pos.shape[0], pos.shape[1]
-    window = -(-window // seg) * seg
+    window = clamp_window(window, n, seg)
     prep = slab_prep_traj(pos, boxes, margin, row_tile, window, pad)
     scalars = jnp.stack(
         [jnp.float32(n), jnp.asarray(low_cut * low_cut, jnp.float32),

@@ -1,15 +1,19 @@
-"""Window-chunked LSI kernel for huge systems.
+"""HBM-resident LSI kernel for million-atom frames.
 
-Carried-top-K extension (see qtet_chunked.py for the exactness argument) of
-the monolithic LSI kernel (lsi_kernel.py; reference hot path `getLSI`
-water_properties.py:252-311 + `lsiDists` waterlib.f90:900-918). The carry
-holds, per row, the K=24 smallest imaged squared distances AND each
-candidate's raw (non-imaged) squared distance — the quantity the
-reference's next-shell argmin quirk selects on — so the shared
-`lsi_epilogue` evaluates the gap variance from the final carry exactly as
-the monolithic kernel does. Bit-identical results for the same window;
-VMEM holds a (row_tile, SEG) scratch instead of (row_tile, window), whose
-~9.5x Mosaic stack caps the monolithic kernel near ~25k atoms.
+The DMA tier of lsi_chunked.py, exactly as qtet_hbm.py is the DMA tier of
+qtet_chunked.py: coordinates stay in HBM and each grid step streams its row
+tile once plus double-buffered SEG-column slabs. LSI needs BOTH the imaged
+z-sorted coordinates (for distances) and the raw coordinates (for the
+reference's next-shell argmin quirk, water_properties.py:275-294), so the
+two 3-row blocks are packed into one 8-sublane HBM array and served by a
+single DMA stream. The carried-top-24 merge runs on the shared
+slab.extract_k_min/merge_k_min helpers and the shared `lsi_epilogue`
+evaluates the gap variance — bit-identical to lsi_chunked for the same
+window; VMEM holds only the (row_tile, SEG) scratch and the slab buffers,
+so reachable size is bounded by HBM, not VMEM.
+
+Reference hot path: `getLSI` water_properties.py:252-311 + `lsiDists`
+waterlib.f90:900-918.
 """
 
 from __future__ import annotations
@@ -32,8 +36,8 @@ from waterorderlib_tpu.ops.pallas.slab import (
 
 
 def _make_kernel(pad: int, seg: int, n_seg: int):
-    def kernel(scalars_ref, boxes_ref, starts_ref, ext_t_ref, raw_t_ref,
-               lsi_ref, valid_ref, cnt_ref, dsq_ref):
+    def kernel(scalars_ref, boxes_ref, starts_ref, combo_hbm,
+               lsi_ref, valid_ref, cnt_ref, rows_buf, slab_buf, dsq_ref, sems):
         f = pl.program_id(0)
         i = pl.program_id(1)
         r = cnt_ref.shape[2]
@@ -49,24 +53,44 @@ def _make_kernel(pad: int, seg: int, n_seg: int):
             d = jnp.where(d > box_l * 0.5, d - box_l, d)
             return jnp.where(d < -box_l * 0.5, d + box_l, d)
 
-        xr = ext_t_ref[0, 0, pl.ds(row0, r)].reshape(r, 1)
-        yr = ext_t_ref[0, 1, pl.ds(row0, r)].reshape(r, 1)
-        zr = ext_t_ref[0, 2, pl.ds(row0, r)].reshape(r, 1)
-        rxr = raw_t_ref[0, 0, pl.ds(row0, r)].reshape(r, 1)
-        ryr = raw_t_ref[0, 1, pl.ds(row0, r)].reshape(r, 1)
-        rzr = raw_t_ref[0, 2, pl.ds(row0, r)].reshape(r, 1)
+        def slab_dma(slot, s):
+            seg_start = pl.multiple_of(start + s * seg, 128)
+            return pltpu.make_async_copy(
+                combo_hbm.at[pl.ds(f, 1), :, pl.ds(seg_start, seg)],
+                slab_buf.at[slot],
+                sems.at[slot],
+            )
 
+        row_dma = pltpu.make_async_copy(
+            combo_hbm.at[pl.ds(f, 1), :, pl.ds(row0, r)], rows_buf, sems.at[2]
+        )
+        row_dma.start()
+        slab_dma(0, 0).start()
+        row_dma.wait()
+
+        xr = rows_buf[0, 0, :].reshape(r, 1)
+        yr = rows_buf[0, 1, :].reshape(r, 1)
+        zr = rows_buf[0, 2, :].reshape(r, 1)
+        rxr = rows_buf[0, 3, :].reshape(r, 1)
+        ryr = rows_buf[0, 4, :].reshape(r, 1)
+        rzr = rows_buf[0, 5, :].reshape(r, 1)
         col = jax.lax.broadcasted_iota(jnp.int32, (r, seg), 1)
 
         def segment(s, carry):
             cd, craw = carry
-            seg_start = pl.multiple_of(start + s * seg, 128)
-            xs = ext_t_ref[0, 0, pl.ds(seg_start, seg)].reshape(1, seg)
-            ys = ext_t_ref[0, 1, pl.ds(seg_start, seg)].reshape(1, seg)
-            zs = ext_t_ref[0, 2, pl.ds(seg_start, seg)].reshape(1, seg)
-            rxs = raw_t_ref[0, 0, pl.ds(seg_start, seg)].reshape(1, seg)
-            rys = raw_t_ref[0, 1, pl.ds(seg_start, seg)].reshape(1, seg)
-            rzs = raw_t_ref[0, 2, pl.ds(seg_start, seg)].reshape(1, seg)
+            slot = jax.lax.rem(s, 2)
+
+            @pl.when(s + 1 < n_seg)
+            def _():
+                slab_dma(1 - slot, s + 1).start()
+
+            slab_dma(slot, s).wait()
+            xs = slab_buf[slot, 0, 0, :].reshape(1, seg)
+            ys = slab_buf[slot, 0, 1, :].reshape(1, seg)
+            zs = slab_buf[slot, 0, 2, :].reshape(1, seg)
+            rxs = slab_buf[slot, 0, 3, :].reshape(1, seg)
+            rys = slab_buf[slot, 0, 4, :].reshape(1, seg)
+            rzs = slab_buf[slot, 0, 5, :].reshape(1, seg)
             dx = mi(xs - xr, bx)
             dy = mi(ys - yr, by)
             dz = mi(zs - zr, bz)
@@ -76,10 +100,9 @@ def _make_kernel(pad: int, seg: int, n_seg: int):
 
             # per-round raw squared distance of the extracted candidate,
             # the quantity the reference's next-shell argmin selects on.
-            # The raw distance matrix is formed once and extracted as ONE
-            # payload — bit-equal to squaring three extracted coordinates
-            # (one-hot extraction is exact) with 2 fewer (r, seg) temps
-            # per unrolled round (same change as the monolithic kernel).
+            # Formed once, extracted as ONE payload — bit-equal to squaring
+            # three extracted coordinates (one-hot extraction is exact),
+            # two fewer (r, seg) temps per unrolled round.
             rawdsq = (rxs - rxr) ** 2 + (rys - ryr) ** 2 + (rzs - rzr) ** 2
             nd, (rawj,), oks = extract_k_min(dsq_ref, col, [rawdsq], K)
             nraw = [jnp.where(oks[j], rawj[j], jnp.inf) for j in range(K)]
@@ -110,7 +133,7 @@ def _make_kernel(pad: int, seg: int, n_seg: int):
 
 
 @partial(jax.jit, static_argnames=("row_tile", "window", "pad", "seg", "unsort"))
-def lsi_traj_chunked(
+def lsi_traj_hbm(
     pos: jnp.ndarray,
     boxes: jnp.ndarray,
     low_cut: float = 0.0,
@@ -121,8 +144,9 @@ def lsi_traj_chunked(
     seg: int = 1536,
     unsort: bool = True,
 ):
-    """Contract matches lsi_kernel.lsi_traj: returns (lsi (F, N),
-    valid (F, N) bool, count (F, N), covered (F,))."""
+    """Contract matches lsi_chunked.lsi_traj_chunked: returns (lsi (F, N),
+    valid (F, N) bool, count (F, N), covered (F,)); coordinates stay
+    HBM-resident."""
     F, n = pos.shape[0], pos.shape[1]
     window = clamp_window(window, n, seg)
     margin = high_cut + 3.7
@@ -132,6 +156,10 @@ def lsi_traj_chunked(
         [raw_sp[:, -pad:, :], raw_sp, raw_sp[:, :pad, :]], axis=1
     )
     raw_t = jnp.transpose(raw_ext, (0, 2, 1)).astype(jnp.float32)
+    # imaged rows 0-2, raw rows 3-5, 2 pad rows -> one 8-sublane DMA stream
+    combo = jnp.pad(
+        jnp.concatenate([prep.ext_t, raw_t], axis=1), ((0, 0), (0, 2), (0, 0))
+    )
 
     scalars = jnp.stack(
         [jnp.float32(n), jnp.asarray(low_cut * low_cut, jnp.float32),
@@ -143,25 +171,26 @@ def lsi_traj_chunked(
         (1, prep.n_tiles, row_tile), lambda f, i, s1, s2, s3: (f, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    in_spec = pl.BlockSpec(
-        (1, 3, prep.ext_t.shape[2]), lambda f, i, s1, s2, s3: (f, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
     lsi_v, valid, cnt = pl.pallas_call(
         _make_kernel(pad, seg, n_seg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(F, prep.n_tiles),
-            in_specs=[in_spec, in_spec],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=(out_spec, out_spec, out_spec),
-            scratch_shapes=[pltpu.VMEM((row_tile, seg), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((1, 8, row_tile), jnp.float32),
+                pltpu.VMEM((2, 1, 8, seg), jnp.float32),
+                pltpu.VMEM((row_tile, seg), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
         ),
         out_shape=(
             jax.ShapeDtypeStruct((F, prep.n_tiles, row_tile), jnp.float32),
             jax.ShapeDtypeStruct((F, prep.n_tiles, row_tile), jnp.float32),
             jax.ShapeDtypeStruct((F, prep.n_tiles, row_tile), jnp.float32),
         ),
-    )(scalars, boxes.astype(jnp.float32), prep.starts, prep.ext_t, raw_t)
+    )(scalars, boxes.astype(jnp.float32), prep.starts, combo)
 
     lsi_v = lsi_v.reshape(F, -1)[:, :n]
     valid = valid.reshape(F, -1)[:, :n] > 0

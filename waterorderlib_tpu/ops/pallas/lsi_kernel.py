@@ -78,19 +78,17 @@ def _make_kernel(pad: int):
         dsq_ref[:] = jnp.where(valid, dsq, jnp.inf)
 
         # sorted imaged distances + each candidate's raw (non-imaged)
-        # squared distance, the quantity the next-shell argmin selects on
-        mins, (rxjs, ryjs, rzjs), fin = extract_k_min(
-            dsq_ref, col, [rxs, rys, rzs], K
-        )
+        # squared distance, the quantity the next-shell argmin selects on.
+        # The raw distance matrix is formed ONCE and extracted as a single
+        # payload: one-hot extraction returns the (r, w) entry bit-exactly,
+        # so this equals computing the square from three extracted
+        # coordinates (the previous form) while carrying one payload
+        # instead of three — fewer live (r, w) temps per unrolled round
+        # and ~2 fewer multiply-sums per round.
+        rawdsq = (rxs - rxr) ** 2 + (rys - ryr) ** 2 + (rzs - rzr) ** 2
+        mins, (rawj,), fin = extract_k_min(dsq_ref, col, [rawdsq], K)
         dists = [jnp.sqrt(mins[j]) for j in range(K)]
-        rawsqs = [
-            jnp.where(
-                fin[j],
-                (rxjs[j] - rxr) ** 2 + (ryjs[j] - ryr) ** 2 + (rzjs[j] - rzr) ** 2,
-                jnp.inf,
-            )
-            for j in range(K)
-        ]
+        rawsqs = [jnp.where(fin[j], rawj[j], jnp.inf) for j in range(K)]
 
         var, okrow, n_near = lsi_epilogue(dists, rawsqs, fin, high, r)
         lsi_ref[0, pl.ds(i, 1), :] = jnp.where(okrow, var, 0.0).reshape(1, r)
@@ -145,8 +143,8 @@ def lsi_traj(
     boxes: jnp.ndarray,
     low_cut: float = 0.0,
     high_cut: float = 3.7,
-    row_tile: int = 128,  # 24 unrolled extraction rounds: 256-row tiles
-    window: int = 2048,   # exceed the 16 MB scoped-VMEM temp budget
+    row_tile: int = 128,
+    window: int = 2048,
     pad: int = 512,
     unsort: bool = True,
 ):

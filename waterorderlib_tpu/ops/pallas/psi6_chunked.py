@@ -20,6 +20,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from waterorderlib_tpu.ops.pallas.psi6_kernel import K, psi6_epilogue
 from waterorderlib_tpu.ops.pallas.slab import (
+    clamp_window,
     extract_k_min,
     merge_k_min,
     slab_prep_traj,
@@ -122,7 +123,7 @@ def psi6_traj_chunked(
     if margin is None:
         margin = high_cut
     F, n = pos.shape[0], pos.shape[1]
-    window = -(-window // seg) * seg
+    window = clamp_window(window, n, seg)
     prep = slab_prep_traj(pos, boxes, margin, row_tile, window, pad)
     scalars = jnp.stack(
         [jnp.float32(n), jnp.asarray(low_cut * low_cut, jnp.float32),

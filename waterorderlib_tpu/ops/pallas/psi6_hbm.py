@@ -1,36 +1,27 @@
-"""HBM-resident 3-body pair-angle kernel for million-atom frames.
+"""HBM-resident psi-6 kernel for million-atom frames.
 
-The DMA tier of angles_chunked.py, exactly as qtet_hbm.py is the DMA tier
-of qtet_chunked.py: coordinates stay in HBM (padded to a full 8-sublane
-tile) and each grid step streams its row tile once plus double-buffered
-SEG-column slabs, with the carried-top-16 merge running on the shared
-slab.extract_k_min/merge_k_min helpers. Bit-identical to angles_chunked
-for the same window; VMEM holds only the (row_tile, SEG) scratch, the
-slab buffers and the per-tile angle block, so the reachable size is
-bounded by HBM, not VMEM (~1M atoms verified).
+The DMA tier of psi6_chunked.py, exactly as qtet_hbm.py is the DMA tier of
+qtet_chunked.py: coordinates stay in HBM (padded to a full 8-sublane tile)
+and each grid step streams its row tile once plus double-buffered
+SEG-column slabs, with the carried-top-24 merge running on the shared
+slab.extract_k_min/merge_k_min helpers and the shared `psi6_epilogue`
+evaluating | mean exp(6 i theta) |. Bit-identical to psi6_chunked for the
+same window; VMEM holds only the (row_tile, SEG) scratch, the slab buffers
+and the row tile, so reachable size is bounded by HBM, not VMEM.
 
-Reference hot path: `allNearNeighbors` waterlib.f90:830-862 + per-water
-`tetraCosAng` waterlib.f90:867-895.
+Reference hot path: `getOrderParamPsi` water_properties.py:393-433.
 """
 
 from __future__ import annotations
 
 from functools import partial
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from waterorderlib_tpu.ops.pallas.angles_kernel import (
-    K,
-    N_PAIRS,
-    N_PAIRS_PAD,
-    PAIR_A,
-    PAIR_B,
-    _acos,
-)
+from waterorderlib_tpu.ops.pallas.psi6_kernel import K, psi6_epilogue
 from waterorderlib_tpu.ops.pallas.slab import (
     clamp_window,
     extract_k_min,
@@ -42,7 +33,7 @@ from waterorderlib_tpu.ops.pallas.slab import (
 
 def _make_kernel(pad: int, seg: int, n_seg: int):
     def kernel(scalars_ref, boxes_ref, starts_ref, ext_hbm,
-               ang_ref, cnt_ref, rows_buf, slab_buf, dsq_ref, sems):
+               psi_ref, cnt_ref, rows_buf, slab_buf, dsq_ref, sems):
         f = pl.program_id(0)
         i = pl.program_id(1)
         r = cnt_ref.shape[2]
@@ -131,41 +122,30 @@ def _make_kernel(pad: int, seg: int, n_seg: int):
             uz.append(vz * inv)
             oks.append(ok)
 
-        rad2deg = jnp.float32(180.0 / np.pi)
-        cols = []
-        for p in range(N_PAIRS):
-            a, b = int(PAIR_A[p]), int(PAIR_B[p])
-            cosv = ux[a] * ux[b] + uy[a] * uy[b] + uz[a] * uz[b]
-            ang = _acos(jnp.clip(cosv, -1.0, 1.0)) * rad2deg
-            pair_ok = oks[a] & oks[b]
-            cols.append(jnp.where(pair_ok, ang, -1.0))
-        for _ in range(N_PAIRS_PAD - N_PAIRS):
-            cols.append(jnp.full((r, 1), -1.0, jnp.float32))
-        ang_ref[0, 0, :, :] = jnp.concatenate(cols, axis=1).reshape(r, N_PAIRS_PAD)
+        psi = psi6_epilogue(ux, uy, uz, oks, count, r)
+        psi_ref[0, pl.ds(i, 1), :] = psi.reshape(1, r)
         cnt_ref[0, pl.ds(i, 1), :] = count.reshape(1, r)
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("row_tile", "window", "pad", "seg", "unsort"))
-def neighbor_pair_angles_traj_hbm(
+def psi6_traj_hbm(
     pos: jnp.ndarray,
     boxes: jnp.ndarray,
     low_cut: float = 0.0,
-    high_cut: float = 3.413,
-    margin: float = 4.5,
+    high_cut: float = 7.0,
+    margin: float | None = None,
     row_tile: int = 128,
     window: int = 6144,
     pad: int = 512,
     seg: int = 1536,
     unsort: bool = True,
 ):
-    """Contract matches angles_chunked.neighbor_pair_angles_traj_chunked:
-    returns (ang (F, N, 128), count (F, N), covered (F,)); coordinates stay
-    HBM-resident."""
-    if isinstance(margin, (int, float)) and isinstance(high_cut, (int, float)):
-        if margin < high_cut:
-            raise ValueError("slab margin must cover the shell cutoff")
+    """Contract matches psi6_chunked.psi6_traj_chunked: returns (psi (F, N),
+    count (F, N), covered (F,)); coordinates stay HBM-resident."""
+    if margin is None:
+        margin = high_cut
     F, n = pos.shape[0], pos.shape[1]
     window = clamp_window(window, n, seg)
     prep = slab_prep_traj(pos, boxes, margin, row_tile, window, pad)
@@ -175,25 +155,17 @@ def neighbor_pair_angles_traj_hbm(
     )
     n_seg = window // seg
     ext8 = jnp.pad(prep.ext_t, ((0, 0), (0, 5), (0, 0)))
-    ang, cnt = pl.pallas_call(
+    out_spec = pl.BlockSpec(
+        (1, prep.n_tiles, row_tile), lambda f, i, s1, s2, s3: (f, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    psi, cnt = pl.pallas_call(
         _make_kernel(pad, seg, n_seg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(F, prep.n_tiles),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.HBM),
-            ],
-            out_specs=(
-                pl.BlockSpec(
-                    (1, 1, row_tile, N_PAIRS_PAD),
-                    lambda f, i, s1, s2, s3: (f, i, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, prep.n_tiles, row_tile), lambda f, i, s1, s2, s3: (f, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=(out_spec, out_spec),
             scratch_shapes=[
                 pltpu.VMEM((1, 8, row_tile), jnp.float32),
                 pltpu.VMEM((2, 1, 8, seg), jnp.float32),
@@ -202,14 +174,14 @@ def neighbor_pair_angles_traj_hbm(
             ],
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((F, prep.n_tiles, row_tile, N_PAIRS_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((F, prep.n_tiles, row_tile), jnp.float32),
             jax.ShapeDtypeStruct((F, prep.n_tiles, row_tile), jnp.float32),
         ),
     )(scalars, boxes.astype(jnp.float32), prep.starts, ext8)
 
-    ang = ang.reshape(F, -1, N_PAIRS_PAD)[:, :n]
+    psi = psi.reshape(F, -1)[:, :n]
     cnt = cnt.reshape(F, -1)[:, :n]
     if unsort:
-        ang = unsort_frames(ang, prep.order0)
+        psi = unsort_frames(psi, prep.order0)
         cnt = unsort_frames(cnt, prep.order0)
-    return ang, cnt, prep.covered
+    return psi, cnt, prep.covered

@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from waterorderlib_tpu.ops.pallas.qtet2 import _scalars, suggest_window
 from waterorderlib_tpu.ops.pallas.slab import (
+    clamp_window,
     extract_k_min,
     merge_k_min,
     slab_prep_traj,
@@ -146,7 +147,7 @@ def order_param_q_traj_chunked(
     rounded up to a multiple of `seg`; both must be multiples of 128.
     """
     F, n = pos.shape[0], pos.shape[1]
-    window = -(-window // seg) * seg
+    window = clamp_window(window, n, seg)
     prep = slab_prep_traj(pos, boxes, margin, row_tile, window, pad)
     scalars = _scalars(n, low_cut, high_cut, pad, margin)
     n_seg = window // seg

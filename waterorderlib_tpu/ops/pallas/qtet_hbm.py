@@ -27,6 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from waterorderlib_tpu.ops.pallas.qtet2 import _scalars
 from waterorderlib_tpu.ops.pallas.slab import (
+    clamp_window,
     extract_k_min,
     merge_k_min,
     slab_prep_traj,
@@ -160,7 +161,7 @@ def order_param_q_traj_hbm(
     """Contract matches qtet_chunked.order_param_q_traj_chunked: returns
     (q (F, N), ok (F, N), covered (F,)); coordinates stay HBM-resident."""
     F, n = pos.shape[0], pos.shape[1]
-    window = -(-window // seg) * seg
+    window = clamp_window(window, n, seg)
     prep = slab_prep_traj(pos, boxes, margin, row_tile, window, pad)
     scalars = _scalars(n, low_cut, high_cut, pad, margin)
     n_seg = window // seg

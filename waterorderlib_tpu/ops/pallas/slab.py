@@ -27,6 +27,23 @@ class SlabPrep(NamedTuple):
     n_tiles: int
 
 
+def clamp_window(window: int, n: int, seg: int) -> int:
+    """Largest valid segmented scan window: a multiple of `seg` no wider
+    than N. The segmented (chunked/HBM) kernels scan exactly
+    `window // seg` segments, so the requested window must be clamped to
+    the same domain `slab_prep_traj` clamps its starts for — a wider scan
+    would hold an atom AND one of its periodic pad copies and double-count
+    that neighbor. (The monolithic kernels take the width from `prep.w`
+    instead, which applies the equivalent clamp.)"""
+    w = min(-(-window // seg) * seg, (n // seg) * seg)
+    if w <= 0:
+        raise ValueError(
+            f"n={n} is smaller than one scan segment (seg={seg}); use the "
+            "monolithic kernel for systems this small"
+        )
+    return w
+
+
 def slab_prep_traj(
     pos: jnp.ndarray,
     boxes: jnp.ndarray,
