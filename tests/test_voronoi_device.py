@@ -199,3 +199,57 @@ def test_tier_escalation_and_fallback_counts():
     vd, ad, nc = voronoi_volumes_hybrid(pts, bl, P)
     assert nc >= c1  # the ladder can only add certified cells
     np.testing.assert_allclose(vd, vh, rtol=2e-2)
+
+
+def test_windowed_topk_matches_full_scan():
+    """At sizes where the z-window engages, windowed and full-scan candidate
+    search must agree on every covered cell, and coverage must be high."""
+    from waterorderlib_tpu.surface.voronoi_device import (
+        _suggest_win,
+        voronoi_cells_device,
+    )
+
+    pts, box_l = _water_points(n=4096, jitter=0.6)
+    pts = pts.astype(np.float32)
+    win = _suggest_win(4096, 4 * 4096, box_l, 64)
+    assert win < 4 * 4096, "window should engage at this size"
+    out_w = voronoi_cells_device(pts, box_l, len(pts))
+    out_f = voronoi_cells_device(pts, box_l, len(pts), win=0)
+    cov = np.asarray(out_w["win_covered"])
+    assert cov.mean() >= 0.9
+    vw = np.asarray(out_w["vol"])
+    vf = np.asarray(out_f["vol"])
+    np.testing.assert_allclose(vw[cov], vf[cov], rtol=1e-5)
+    cw = np.asarray(out_w["certified"])
+    cf = np.asarray(out_f["certified"])
+    assert (cw & ~cf).sum() == 0  # windowed never certifies more than full
+    assert cw.sum() >= 0.85 * cf.sum()
+
+
+def test_contacts_rows_restriction_matches_full():
+    """rows= computes only the requested cells; those rows must match the
+    full run exactly (same tiers, same data)."""
+    from waterorderlib_tpu.surface.voronoi_device import voronoi_contacts_hybrid
+
+    pts, box_l = _water_points(n=300)
+    pts = pts.astype(np.float32)
+    sel = np.array([3, 50, 123, 222, 299])
+    cf, aaf, waf, avf, _ = voronoi_contacts_hybrid(pts, box_l, len(pts))
+    cr, aar, war, avr, _ = voronoi_contacts_hybrid(pts, box_l, len(pts), rows=sel)
+    # entries can differ by exactly the >=4-vertex doubling quirk when the
+    # two sides of a face disagree on a sliver vertex at f32 noise and only
+    # one side was computed; everything else must match
+    d = np.abs(cr[sel] - cf[sel])
+    mism = d > 1e-4
+    if mism.any():
+        ratio = cr[sel][mism] / np.maximum(cf[sel][mism], 1e-12)
+        assert np.all((np.abs(ratio - 2.0) < 0.05) | (np.abs(ratio - 0.5) < 0.02))
+        assert mism.sum() <= 3
+    np.testing.assert_allclose(aar[0, sel], aaf[0, sel], rtol=1e-6)
+    np.testing.assert_allclose(avr[0, sel], avf[0, sel], rtol=1e-6)
+    # wat_area inherits rare one-sided quirk flips (bounded by the sliver
+    # face's area); the cell quantities above are exact
+    np.testing.assert_allclose(war[0, sel], waf[0, sel], atol=1.0)
+    # unrequested rows are zero in the cell quantities
+    others = np.setdiff1d(np.arange(300), sel)
+    assert np.all(avr[0, others] == 0.0)

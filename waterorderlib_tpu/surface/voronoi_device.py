@@ -56,6 +56,11 @@ _NO_PBC_BOX = 3.0e18
 # Far parking distance for unused candidate slots (mirror set is always
 # >= 3 points, so slots only go unused for tiny inputs).
 _FAR = 1.0e6
+# Compacted vertex slots per cell: real cells carry ~2(F-2) <= ~40 geometric
+# vertices, but a degenerate vertex on p coincident planes arrives as C(p,3)
+# triple copies BEFORE dedup (a BCC lattice cell measures up to ~200 copies),
+# so compaction must hold the raw copies; overflow vetoes the certificate.
+_COMPACT_V = 256
 
 
 @lru_cache(maxsize=8)
@@ -129,9 +134,17 @@ def _cell_moments(rel_all, slot_ok, k: int, eps: float):
 
     s_all = 0.5 * jnp.sum(rel_all * rel_all, axis=-1)  # (K_search,)
     s = s_all[:k]
-    # representative squared-distance scale for tolerances (real slots only)
-    s_scale = jnp.min(jnp.where(slot_ok, s_all, jnp.inf))
-    s_scale = jnp.where(jnp.isfinite(s_scale), s_scale, jnp.asarray(1.0, dtype))
+    # Tolerances must scale with the magnitudes actually entering each
+    # computation, NOT with min(s): a boundary atom's nearest candidate is
+    # its own mirror at ~2x the face distance, which can be arbitrarily
+    # close — a min-based scale then rejects genuine near-degenerate
+    # vertices at f32 and silently drops small faces (observed: a certified
+    # cell 1.5% small because two 0.1-0.3 A^2 faces lost their vertices).
+    # s_scale keeps only the roles where a representative CELL size is
+    # wanted (area floor); per-plane slack tests use operand-scaled
+    # tolerances eps * (s_j + |X| |r_j|) below.
+    s_med = jnp.nanmedian(jnp.where(slot_ok, s_all, jnp.nan))
+    s_scale = jnp.where(jnp.isfinite(s_med), s_med, jnp.asarray(1.0, dtype))
     tol = jnp.asarray(eps, dtype) * s_scale
 
     ra, rb, rc = rel[tri[:, 0]], rel[tri[:, 1]], rel[tri[:, 2]]
@@ -148,27 +161,64 @@ def _cell_moments(rel_all, slot_ok, k: int, eps: float):
 
     # HIGHEST: TPU matmuls otherwise run bf16 multiplicands, which wrecks
     # the slack tolerances (observed: certificate rate 0% on TPU, 86% on CPU)
-    slack = s_all[None, :] - jnp.matmul(
-        X, rel_all.T, precision=jax.lax.Precision.HIGHEST
-    )  # (C, K_search); >= 0 inside
-    inside = jnp.min(slack[:, :k], axis=-1) >= -tol
+    slack_build = s[None, :] - jnp.matmul(
+        X, rel.T, precision=jax.lax.Precision.HIGHEST
+    )  # (C, k); >= 0 inside
+    r_len = nrm(rel)
+    xnorm = nrm(X)
+    # operand-scaled slack tolerance: |slack| carries fp error ~ eps * the
+    # magnitudes that formed it (s_j and X . r_j), not eps * min(s)
+    tol_build = jnp.asarray(eps, dtype) * (
+        s[None, :] + xnorm[:, None] * r_len[None, :]
+    )  # (C, k)
+    inside = jnp.all(slack_build >= -tol_build, axis=-1)
     vert_ok = ok_det & inside  # (C,)
-    vnorm = nrm(X)
-    r_cell = jnp.max(jnp.where(vert_ok, vnorm, 0.0))
-    # does any beyond-build plane cut the built cell?
-    extra_cut = jnp.any(vert_ok[:, None] & (slack[:, k:] < -tol))
 
-    # edges: extreme valid vertices along each pair's intersection line
-    Xv = X[pair_tri]  # (P, K-2, 3)
-    okv = vert_ok[pair_tri]  # (P, K-2)
+    # compact the valid vertices (~2 per face on real cells, plus mirror
+    # duplicates) so the edge/face stages run on V slots instead of C(K,3)
+    # triples — the dominant cost at K=32 otherwise
+    V = min(_COMPACT_V, X.shape[0])
+    score, cidx = jax.lax.top_k(vert_ok.astype(jnp.float32), V)  # valid first
+    okc = score > 0.5  # (V,)
+    overflow = jnp.sum(vert_ok) > V  # cannot represent the cell: veto below
+    Xc = X[cidx]  # (V, 3)
+    planes_c = jnp.asarray(tri)[cidx]  # (V, 3) plane ids of each vertex
+
+    vnorm = nrm(Xc)
+    r_cell = jnp.max(jnp.where(okc, vnorm, 0.0))
+    # does any beyond-build plane cut the built cell?
+    slack_extra = s_all[None, k:] - jnp.matmul(
+        Xc, rel_all[k:].T, precision=jax.lax.Precision.HIGHEST
+    )  # (V, K_search - k)
+    tol_extra = jnp.asarray(eps, dtype) * (
+        s_all[None, k:] + vnorm[:, None] * nrm(rel_all[k:])[None, :]
+    )
+    extra_cut = jnp.any(okc[:, None] & (slack_extra < -tol_extra))
+
+    # edges: a compacted vertex lies on pair (i, j)'s line iff both planes
+    # are among its 3 defining planes (membership via geometric incidence
+    # was tried and rejected: planes passing exactly through two
+    # non-adjacent vertices of a face — common in lattices — collect them
+    # as a phantom chord edge and corrupt the face area; the defining-triple
+    # test implicitly requires a well-conditioned defining copy, which
+    # excludes those); endpoints are the extreme valid members along the
+    # line direction r_i x r_j
+    pi = jnp.asarray(prs[:, 0])  # (P,)
+    pj = jnp.asarray(prs[:, 1])
+    has = lambda ids: (
+        (planes_c[:, 0, None] == ids[None, :])
+        | (planes_c[:, 1, None] == ids[None, :])
+        | (planes_c[:, 2, None] == ids[None, :])
+    )
+    member = has(pi) & has(pj) & okc[:, None]  # (V, P)
     tdir = jnp.cross(rel[prs[:, 0]], rel[prs[:, 1]])  # (P, 3)
-    u = jnp.einsum("pvk,pk->pv", Xv, tdir, precision=jax.lax.Precision.HIGHEST)
+    u = jnp.matmul(Xc, tdir.T, precision=jax.lax.Precision.HIGHEST)  # (V, P)
     big = jnp.asarray(3.0e37, dtype)
-    i_lo = jnp.argmin(jnp.where(okv, u, big), axis=-1)
-    i_hi = jnp.argmax(jnp.where(okv, u, -big), axis=-1)
-    take = lambda i: jnp.take_along_axis(Xv, i[:, None, None], axis=1)[:, 0, :]
-    v1, v2 = take(i_lo), take(i_hi)  # (P, 3)
-    edge_ok = jnp.sum(okv, axis=-1) >= 2  # (P,)
+    i_lo = jnp.argmin(jnp.where(member, u, big), axis=0)  # (P,)
+    i_hi = jnp.argmax(jnp.where(member, u, -big), axis=0)
+    v1 = Xc[i_lo]  # (P, 3)
+    v2 = Xc[i_hi]
+    edge_ok = jnp.sum(member, axis=0) >= 2  # (P,)
 
     # per-face vector areas from locally oriented edge triangles
     V1 = v1[face_pairs]  # (K, K-1, 3)
@@ -180,23 +230,23 @@ def _cell_moments(rel_all, slot_ok, k: int, eps: float):
     # Mirror candidates make face-plane vertices exactly degenerate (a
     # candidate and its mirror partner are equidistant from any point on the
     # box face), so several plane pairs can carry the SAME geometric edge of
-    # a face. Deduplicate per face on a 5-scalar segment signature
-    # (midpoint, length, |direction . g|); keep zero-length point-touch
-    # "edges" out via the length gate.
-    len_scale = jnp.sqrt(2.0 * s_scale)  # ~ nearest-candidate distance
-    len_tol = jnp.sqrt(jnp.asarray(eps, dtype)) * len_scale
+    # a face. Deduplicate per face by ENDPOINT IDENTITY: duplicate copies of
+    # the same geometric edge differ only by the vertex-copy fp spread
+    # (~eps * conditioning), whereas distinct short edges of a
+    # near-degenerate vertex cluster differ by a physical micro-edge length.
+    # (A sqrt(eps)-radius signature dedup was tried first and falsely merged
+    # those cluster edges — certified cells came out 0.5% small with faces
+    # losing 1-2 vertices each.)
+    # cell-size scale (median candidate distance ~ 2x the typical face
+    # distance) — NOT the min, which a boundary atom's own mirror collapses
+    len_scale = jnp.sqrt(2.0 * s_scale)
+    htol = 20.0 * jnp.asarray(eps, dtype) * len_scale
     tlen = nrm(tvec)
-    eok = eok & (tlen > len_tol)
-    gvec = jnp.asarray([0.5377671, 0.78316498, 0.31233937], dtype)
-    mid = 0.5 * (V1 + V2)  # (K, K-1, 3)
-    sig = jnp.concatenate(
-        [mid, tlen[..., None], jnp.abs(jnp.sum(tvec * gvec, axis=-1))[..., None]],
-        axis=-1,
-    )  # (K, K-1, 5)
-    diff = jnp.max(
-        jnp.abs(sig[:, :, None, :] - sig[:, None, :, :]), axis=-1
-    )  # (K, K-1, K-1)
-    dup = diff <= len_tol
+    eok = eok & (tlen > htol)  # zero-length point-touch "edges"
+    close = lambda A, B: (
+        jnp.max(jnp.abs(A[:, :, None, :] - B[:, None, :, :]), axis=-1) <= htol
+    )  # (K, K-1, K-1): edge j's endpoint vs edge j''s endpoint
+    dup = (close(V1, V1) & close(V2, V2)) | (close(V1, V2) & close(V2, V1))
     ne = eok.shape[1]
     earlier = np.tril(np.ones((ne, ne), bool), -1)  # j' < j
     taken = dup & earlier[None, :, :] & eok[:, None, :]
@@ -211,7 +261,13 @@ def _cell_moments(rel_all, slot_ok, k: int, eps: float):
     civ = 0.5 * jnp.cross(V1 - q[:, None, :], V2 - q[:, None, :])
     w = jnp.where(eok, sign, 0.0)
     vec_area = jnp.sum(civ * w[:, :, None], axis=1)  # (K, 3)
-    r_len = nrm(rel)
+    # per-face polygon closure: the signed edge vectors of a consistent
+    # closed polygon cancel almost exactly (every vertex value enters once
+    # +, once -); a lost or mis-extreme endpoint breaks the sum by ~ the
+    # missing edge length. This catches face errors that the cell-level
+    # vector-area closure misses when two faces err in compensating
+    # directions (observed: 0.5% volume errors certifying at f32).
+    face_gap = nrm(jnp.sum(tvec * w[:, :, None], axis=1))  # (K,)
     nhat = rel / r_len[:, None]
     raw_area = jnp.sum(vec_area * nhat, axis=-1)  # (K,) signed
     # a real face has a closed polygon: >= 3 edges
@@ -224,9 +280,13 @@ def _cell_moments(rel_all, slot_ok, k: int, eps: float):
     vol = jnp.sum(face_area * r_len) / 6.0  # sum A_f * (|r_f|/2) / 3
     closure = nrm(jnp.sum(jnp.where(face_real[:, None], vec_area, 0.0), axis=0))
     # the vector areas of a closed surface sum to zero; the tolerance scales
-    # with eps because degenerate-edge endpoints carry conditioning noise
+    # with eps because degenerate-edge endpoints carry conditioning noise.
+    # The multiplier bounds the certifiable volume error: a dropped face
+    # shows its whole vector area here, so closure <= 20*eps*area keeps
+    # certified f32 cells within ~0.2% of exact (100*eps let 0.6% errors
+    # certify — observed on a liquid box)
     closure_tol = jnp.maximum(
-        jnp.asarray(100.0 * eps, dtype), jnp.asarray(1e-6, dtype)
+        jnp.asarray(20.0 * eps, dtype), jnp.asarray(1e-6, dtype)
     )
     closed = closure <= closure_tol * jnp.maximum(area, jnp.asarray(1e-6, dtype))
     # phantom "faces" (a plane touching the cell only along an edge or a
@@ -235,7 +295,13 @@ def _cell_moments(rel_all, slot_ok, k: int, eps: float):
     any_negative = jnp.any(
         (nedges_raw >= 3) & (raw_area < -jnp.sqrt(tol) * jnp.maximum(area, 1.0))
     )
-    ok_shape = closed & ~any_negative & (vol > 0) & ~extra_cut
+    # dedup junctions join endpoint copies that agree to htol, so a genuine
+    # polygon's gap is bounded by a few htol; anything larger is a broken
+    # face (a lost vertex breaks the sum by ~ the missing edge length)
+    face_open = jnp.any(face_real & (face_gap > 8.0 * htol))
+    ok_shape = (
+        closed & ~any_negative & (vol > 0) & ~extra_cut & ~overflow & ~face_open
+    )
     return {
         "vol": vol,
         "area": area,
@@ -249,12 +315,101 @@ def _cell_moments(rel_all, slot_ok, k: int, eps: float):
     }
 
 
-@partial(jax.jit, static_argnames=("k", "k_search", "row_block", "eps"))
-def _cells_blocked(centers, ext, box, k, k_search, row_block, eps):
-    nl = ops_pairs.topk_neighbors(
-        centers, ext, box, k=k_search, low_cut=0.0, high_cut=jnp.inf,
-        row_block=row_block,
+@partial(jax.jit, static_argnames=("k_search", "row_block", "win"))
+def _windowed_topk(centers, ext, k_search, row_block, win):
+    """K-nearest mirrored candidates via a z-sorted sliding window.
+
+    Centers are processed in z-sorted blocks; each block scans one
+    contiguous `win`-candidate slice of the z-sorted mirror set instead of
+    all 4P candidates. Per-row coverage certificate: the window's z extent
+    must reach at least d_K beyond the center on each side (or hit the
+    array end — the mirror set is NOT z-periodic, so no wrap is needed).
+
+    Returns (dist (num, K), idx (num, K) into ext, valid, covered (num,)).
+    """
+    p4 = ext.shape[0]
+    orde = jnp.argsort(ext[:, 2])
+    exts = ext[orde]
+    ez = exts[:, 2]
+    num = centers.shape[0]
+    ordc = jnp.argsort(centers[:, 2])
+    cs = centers[ordc]
+    pad = (-num) % row_block
+    if pad:
+        cs = jnp.concatenate([cs, jnp.repeat(cs[-1:], pad, axis=0)], axis=0)
+
+    def one_block(blk):  # (rb, 3)
+        rb = blk.shape[0]
+        z_mid = blk[rb // 2, 2]
+        start = jnp.clip(
+            jnp.searchsorted(ez, z_mid) - win // 2, 0, p4 - win
+        ).astype(jnp.int32)
+        cand = jax.lax.dynamic_slice(
+            exts, (start, jnp.zeros((), start.dtype)), (win, 3)
+        )  # (win, 3)
+        d = blk[:, None, :] - cand[None, :, :]
+        dsq = jnp.sum(d * d, axis=-1)  # (rb, win)
+        masked = jnp.where(dsq > 0.0, dsq, jnp.inf)  # self-exclusion
+        neg_top, li = jax.lax.top_k(-masked, k_search)
+        top_dsq = -neg_top
+        slot_ok = jnp.isfinite(top_dsq)
+        dist = jnp.sqrt(jnp.where(slot_ok, top_dsq, jnp.inf))
+        gidx = orde[start + jnp.where(slot_ok, li, 0)]
+        d_far = dist[:, -1]
+        d_far = jnp.where(jnp.isfinite(d_far), d_far, 0.0)
+        covered = (
+            ((blk[:, 2] - ez[start] >= d_far) | (start == 0))
+            & ((ez[start + win - 1] - blk[:, 2] >= d_far) | (start + win == p4))
+            # a partially-filled slot list means candidates beyond the
+            # window's z extent were never seen — not coverable
+            & jnp.all(slot_ok, axis=-1)
+        )
+        return dist, gidx.astype(jnp.int32), slot_ok, covered
+
+    blocks = cs.reshape(-1, row_block, 3)
+    dist, idx, valid, covered = jax.lax.map(one_block, blocks)
+    unblk = lambda x: x.reshape((-1,) + x.shape[2:])[:num]
+    # scatter back to the original center order
+    inv = jnp.zeros(num, jnp.int32).at[ordc].set(jnp.arange(num, dtype=jnp.int32))
+    return (
+        unblk(dist)[inv], unblk(idx)[inv], unblk(valid)[inv], unblk(covered)[inv]
     )
+
+
+def _suggest_win(n_real: int, p4: int, box_l: float, k_search: int) -> int:
+    """Window size covering ~2.7x the expected K_search-th neighbor distance
+    in z on each side (x/y mirrors of in-slab points share their z, hence
+    the 3x multiplier on the in-slab count)."""
+    if n_real <= 0 or box_l <= 0:
+        return p4
+    rho = n_real / box_l**3
+    d_k = (3.0 * k_search / (4.0 * np.pi * max(rho, 1e-12))) ** (1.0 / 3.0)
+    # 1.6x headroom over the mean d_K: rows whose window coverage still
+    # fails are rescued by the tier ladder, so the safety factor trades a
+    # few escalations for a much smaller scan
+    frac = min(1.0, 2.0 * 1.6 * d_k / box_l)
+    win = int(-(-(3.2 * n_real * frac) // 128) * 128)
+    win = max(win, min(p4, 1024))
+    # a window covering most of the set saves nothing and only risks
+    # coverage vetoes — scan everything instead
+    if win >= 0.75 * p4:
+        return p4
+    return win
+
+
+@partial(jax.jit, static_argnames=("k", "k_search", "row_block", "eps", "win"))
+def _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=None):
+    if win is not None and win < ext.shape[0]:
+        dist, idx, valid, win_cov = _windowed_topk(
+            centers, ext, k_search, row_block, win
+        )
+        nl = ops_pairs.NeighborList(dist, idx, valid, jnp.sum(valid, axis=-1))
+    else:
+        nl = ops_pairs.topk_neighbors(
+            centers, ext, box, k=k_search, low_cut=0.0, high_cut=jnp.inf,
+            row_block=row_block,
+        )
+        win_cov = jnp.ones(centers.shape[0], bool)
     rel_all = ext[nl.idx] - centers[:, None, :]  # (num, K_search, 3)
 
     def one_block(args):
@@ -282,6 +437,7 @@ def _cells_blocked(centers, ext, box, k, k_search, row_block, eps):
     out["nbr_dist"] = nl.dist
     out["nbr_idx"] = nl.idx
     out["nbr_valid"] = nl.valid
+    out["win_covered"] = win_cov
     return out
 
 
@@ -294,6 +450,7 @@ def voronoi_cells_device(
     row_block: int = 256,
     eps: float | None = None,
     centers_idx=None,
+    win: int | None = None,
 ):
     """Per-cell Voronoi moments for the first `num` points on device.
 
@@ -313,17 +470,39 @@ def voronoi_cells_device(
     if k_search < k:
         raise ValueError(f"k_search={k_search} must be >= k={k}")
     ext = mirror_points_device(pts, box_l)
+    n_want = None
     if centers_idx is None:
         centers = pts[:num]
     else:
-        centers = pts[jnp.asarray(centers_idx)]
+        # bucket-pad the escalation subset to a power of two so repeated
+        # tier calls with drifting subset sizes hit the jit cache instead of
+        # recompiling every frame
+        centers_idx = np.asarray(centers_idx)
+        n_want = len(centers_idx)
+        bucket = max(64, 1 << int(np.ceil(np.log2(max(n_want, 1)))))
+        padded_idx = np.concatenate(
+            [centers_idx, np.full(bucket - n_want, centers_idx[0] if n_want else 0,
+                                  centers_idx.dtype if n_want else np.int64)]
+        )
+        centers = pts[jnp.asarray(padded_idx)]
     box = jnp.asarray([_NO_PBC_BOX] * 3, pts.dtype)
     nc = int(centers.shape[0])
+    if win is None:
+        win = _suggest_win(
+            int(pts.shape[0]), int(ext.shape[0]), float(box_l), k_search
+        )
+    elif win <= 0:
+        win = int(ext.shape[0])  # force the full scan
     out = _cells_blocked(
-        centers, ext, box, k, k_search, min(row_block, max(1, nc)), float(eps)
+        centers, ext, box, k, k_search, min(row_block, max(1, nc)), float(eps),
+        win=win,
     )
     d_far = out["nbr_dist"][:, -1]  # +inf when fewer than K candidates exist
-    out["certified"] = out["ok_shape"] & (d_far >= 2.0 * out["r_cell"])
+    out["certified"] = (
+        out["ok_shape"] & out["win_covered"] & (d_far >= 2.0 * out["r_cell"])
+    )
+    if n_want is not None:  # drop bucket padding
+        out = {kk: v[:n_want] for kk, v in out.items()}
     return out
 
 
@@ -356,6 +535,9 @@ def _host_cell(rel: np.ndarray):
     return float(hull.volume), float(hull.area), face_area, nverts, r_cell
 
 
+# third device tier measured nearly useless (284 -> 241 uncertified at 12k;
+# the residue fails f32 closure on mirror-degenerate boundary cells, which
+# more planes cannot fix) — two tiers, then the host closes the residue
 DEFAULT_TIERS = ((32, 64), (48, 96))
 
 
@@ -383,6 +565,7 @@ def voronoi_volumes_hybrid(
     vol = np.asarray(out["vol"], np.float64).copy()
     area = np.asarray(out["area"], np.float64).copy()
     cert = np.asarray(out["certified"]).copy()
+    tier_rows = [(np.arange(num), out)]
     for k2, ks2 in tiers[1:]:
         bad_idx = np.where(~cert)[0]
         if not len(bad_idx):
@@ -391,6 +574,7 @@ def voronoi_volumes_hybrid(
             points, box_l, num, k=k2, k_search=ks2,
             row_block=min(row_block, max(1, len(bad_idx))), centers_idx=bad_idx,
         )
+        tier_rows.append((bad_idx, out2))
         c2 = np.asarray(out2["certified"])
         fixed = bad_idx[c2]
         vol[fixed] = np.asarray(out2["vol"], np.float64)[c2]
@@ -399,22 +583,69 @@ def voronoi_volumes_hybrid(
     bad = np.where(~cert)[0]
     if len(bad):
         ext = np.asarray(mirror_points_device(jnp.asarray(points), box_l))
-        for i in bad:
-            vol[i], area[i], *_ = _host_cell_best(ext, points[i], fallback_k)
+        for i, (rel, d_far, _sel) in zip(
+            bad, _device_candidates(tier_rows, bad, ext, points)
+        ):
+            ok = False
+            if len(rel) >= 4 and np.isfinite(d_far):
+                v_i, a_i, fa, nv, r_cell, ok = _host_cell_from_device(rel, d_far)
+            if not ok:  # unseen candidates could cut: full host search
+                v_i, a_i, *_ = _host_cell_best(ext, points[i], fallback_k)
+            vol[i], area[i] = v_i, a_i
     return vol, area, int(cert.sum())
+
+
+def _device_candidates(tier_rows, bad, ext, points):
+    """Yield (rel, d_far) per bad row from the LATEST tier that computed it
+    — the device already found each row's k_search nearest candidates, so
+    the host fallback needs no 4P-point search of its own."""
+    latest = {}
+    for rows_idx, o in tier_rows:
+        nbr_idx = np.asarray(o["nbr_idx"])
+        nbr_dist = np.asarray(o["nbr_dist"])
+        nbr_valid = np.asarray(o["nbr_valid"])
+        wcov = np.asarray(o["win_covered"])
+        for p, r in enumerate(rows_idx):
+            latest[int(r)] = (nbr_idx[p], nbr_dist[p], nbr_valid[p], wcov[p])
+    for i in bad:
+        idxs, dvec, valid, covered = latest[int(i)]
+        if not covered or not valid.any():
+            # the z-window search may have missed nearer candidates: force
+            # the full host search by failing the d_far certificate
+            yield np.zeros((0, 3)), -np.inf, np.zeros(0, int)
+            continue
+        sel = idxs[valid]
+        rel = ext[sel] - np.asarray(points[i], ext.dtype)[None, :]
+        yield rel, float(dvec[valid][-1]), sel
+
+
+def _host_cell_from_device(rel: np.ndarray, d_far: float):
+    """Host cell from the device-found candidate list (no host search).
+
+    rel: (K2, 3) relative candidates, nearest-first; d_far: distance of the
+    farthest. Returns (vol, area, fa, nv, r_cell, certified) — certified
+    means no unseen candidate (all beyond d_far) can cut the cell."""
+    vol, area, fa, nv, r_cell = _host_cell(rel)
+    return vol, area, fa, nv, r_cell, bool(d_far >= 2.0 * r_cell)
 
 
 def _host_cell_best(ext: np.ndarray, center: np.ndarray, k2: int):
     """Host cell of `center` against its k2 nearest mirrored candidates,
     doubling k2 until the far-candidate certificate holds."""
+    # match ext's dtype so the self-point subtracts to exactly zero — an
+    # f64 center against the f32 mirror set leaves self at d ~ 1e-7, which
+    # survives the self-drop below and injects a plane through the center
+    center = np.asarray(center, ext.dtype)
     d = np.linalg.norm(ext - center[None, :], axis=-1)
-    order = np.argsort(d)
-    order = order[d[order] > 1e-12]  # drop self
     while True:
+        kk = min(4 * k2, len(d))  # partial selection: O(n), not a full sort
+        cand = np.argpartition(d, kk - 1)[:kk]
+        order = cand[np.argsort(d[cand])]
+        order = order[d[order] > 1e-12]  # drop self
         sel = order[: min(k2, len(order))]
         rel = ext[sel] - center[None, :]
         vol, area, fa, nv, r_cell = _host_cell(rel)
-        if len(sel) == len(order) or d[order[min(k2, len(order)) - 1]] >= 2 * r_cell:
+        if len(sel) >= len(d) - 1 or d[sel[-1]] >= 2 * r_cell:
             return vol, area, fa, nv, sel
         k2 *= 2
 
@@ -441,6 +672,7 @@ def voronoi_contacts_hybrid(
     tiers=DEFAULT_TIERS,
     row_block: int = 256,
     fallback_k: int = 96,
+    rows=None,
 ):
     """Drop-in for `surface.voronoi.voronoi_contacts`: (contacts (num, num),
     atom_area (1, num), wat_area (1, num), atom_vol (1, num), n_certified).
@@ -448,45 +680,62 @@ def voronoi_contacts_hybrid(
     Reproduces the reference's doubled-area quirk: faces with >= 4 vertices
     contribute 2x their polygon area to the contact matrix, 3-vertex faces
     1x (surface_library.py:295-303).
+
+    `rows` restricts which cells are computed (contact_area_calc only needs
+    the solute atoms' rows — a ~25x saving on solvated systems); other rows
+    of the returned arrays are zero. Default: all `num` rows.
     """
     points = np.asarray(points)
     P = len(points)
+    sel_rows = np.arange(num) if rows is None else np.asarray(rows, int)
     k0, ks0 = tiers[0]
     out = voronoi_cells_device(
-        points, box_l, num, k=k0, k_search=ks0, row_block=row_block
+        points, box_l, num, k=k0, k_search=ks0, row_block=row_block,
+        centers_idx=None if rows is None else sel_rows,
     )
-    cert = np.asarray(out["certified"]).copy()
-    vol = np.asarray(out["vol"], np.float64).copy()
-    area = np.asarray(out["area"], np.float64).copy()
+    cert = np.asarray(out["certified"]).copy()  # in sel_rows space
+    vol = np.zeros(num)
+    area = np.zeros(num)
+    vol[sel_rows] = np.asarray(out["vol"], np.float64)
+    area[sel_rows] = np.asarray(out["area"], np.float64)
     contacts = np.zeros((num, num))
-    _scatter_contact_rows(contacts, out, np.arange(num), cert, P, num)
+    _scatter_contact_rows(contacts, out, sel_rows, cert, P, num)
+    tier_rows = [(sel_rows, out)]
 
     for k2, ks2 in tiers[1:]:
-        bad_idx = np.where(~cert)[0]
-        if not len(bad_idx):
+        bad_pos = np.where(~cert)[0]
+        if not len(bad_pos):
             break
+        bad_idx = sel_rows[bad_pos]
         out2 = voronoi_cells_device(
             points, box_l, num, k=k2, k_search=ks2,
             row_block=min(row_block, max(1, len(bad_idx))), centers_idx=bad_idx,
         )
+        tier_rows.append((bad_idx, out2))
         c2 = np.asarray(out2["certified"])
         fixed = bad_idx[c2]
         vol[fixed] = np.asarray(out2["vol"], np.float64)[c2]
         area[fixed] = np.asarray(out2["area"], np.float64)[c2]
         _scatter_contact_rows(contacts, out2, bad_idx, c2, P, num)
-        cert[fixed] = True
+        cert[bad_pos[c2]] = True
 
-    bad = np.where(~cert)[0]
+    bad = sel_rows[~cert]
     if len(bad):
         ext = np.asarray(mirror_points_device(jnp.asarray(points), box_l))
-        for i in bad:
-            vol[i], area[i], fa, nv, sel = _host_cell_best(
-                ext, points[i], fallback_k
-            )
+        for i, (rel, d_far, sel) in zip(
+            bad, _device_candidates(tier_rows, bad, ext, points)
+        ):
+            ok = False
+            if len(rel) >= 4 and np.isfinite(d_far):
+                v_i, a_i, fa, nv, r_cell, ok = _host_cell_from_device(rel, d_far)
+            if not ok:
+                v_i, a_i, fa, nv, sel = _host_cell_best(ext, points[i], fallback_k)
+            vol[i], area[i] = v_i, a_i
             o = sel % P
-            keep = (sel < P) & (o < num) & (fa > 1e-12)
+            keep = (sel < P) & (o < num) & (fa[: len(sel)] > 1e-12)
             np.add.at(
-                contacts[i], o[keep], (np.where(nv >= 4, 2.0, 1.0) * fa)[keep]
+                contacts[i], o[keep],
+                (np.where(nv[: len(sel)] >= 4, 2.0, 1.0) * fa[: len(sel)])[keep],
             )
     # symmetrize from the better-certified side (device cells agree to fp
     # tolerance; fallback rows are authoritative for their own row)
