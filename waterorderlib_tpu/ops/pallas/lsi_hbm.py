@@ -37,10 +37,10 @@ from waterorderlib_tpu.ops.pallas.slab import (
 
 def _make_kernel(pad: int, seg: int, n_seg: int):
     def kernel(scalars_ref, boxes_ref, starts_ref, combo_hbm,
-               lsi_ref, valid_ref, cnt_ref, rows_buf, slab_buf, dsq_ref, sems):
+               lsi_ref, code_ref, rows_buf, slab_buf, dsq_ref, sems):
         f = pl.program_id(0)
         i = pl.program_id(1)
-        r = cnt_ref.shape[2]
+        r = code_ref.shape[2]
         low_sq = scalars_ref[1]
         high = scalars_ref[2]
         outer_sq = scalars_ref[3]
@@ -125,9 +125,17 @@ def _make_kernel(pad: int, seg: int, n_seg: int):
         fin = [jnp.isfinite(cd[:, j : j + 1]) for j in range(K)]
 
         var, okrow, n_near = lsi_epilogue(dists, rawsqs, fin, high, r)
-        lsi_ref[0, pl.ds(i, 1), :] = jnp.where(okrow, var, 0.0).reshape(1, r)
-        valid_ref[0, pl.ds(i, 1), :] = okrow.astype(jnp.float32).reshape(1, r)
-        cnt_ref[0, pl.ds(i, 1), :] = jnp.where(okrow, n_near, 0.0).reshape(1, r)
+        # output blocks hold 8 tiles (the sublane minimum), NOT the whole
+        # frame: whole-frame (1, n_tiles, row_tile) blocks keep
+        # n_tiles*row_tile*4 B resident per output, which scales with N and
+        # OOMs scoped VMEM at million-atom frames; an 8-tile block is 4 KB
+        # and revisits the same block for 8 consecutive grid steps
+        sub = jax.lax.rem(i, 8)
+        lsi_ref[0, pl.ds(sub, 1), :] = jnp.where(okrow, var, 0.0).reshape(1, r)
+        # valid+count packed into ONE output (cnt*2 + valid, exact small
+        # ints in f32) — one less output stream
+        code = jnp.where(okrow, n_near, 0.0) * 2.0 + okrow.astype(jnp.float32)
+        code_ref[0, pl.ds(sub, 1), :] = code.reshape(1, r)
 
     return kernel
 
@@ -168,16 +176,16 @@ def lsi_traj_hbm(
     )
     n_seg = window // seg
     out_spec = pl.BlockSpec(
-        (1, prep.n_tiles, row_tile), lambda f, i, s1, s2, s3: (f, 0, 0),
+        (1, 8, row_tile), lambda f, i, s1, s2, s3: (f, i // 8, 0),
         memory_space=pltpu.VMEM,
     )
-    lsi_v, valid, cnt = pl.pallas_call(
+    lsi_v, code = pl.pallas_call(
         _make_kernel(pad, seg, n_seg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(F, prep.n_tiles),
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-            out_specs=(out_spec, out_spec, out_spec),
+            out_specs=(out_spec, out_spec),
             scratch_shapes=[
                 pltpu.VMEM((1, 8, row_tile), jnp.float32),
                 pltpu.VMEM((2, 1, 8, seg), jnp.float32),
@@ -188,13 +196,13 @@ def lsi_traj_hbm(
         out_shape=(
             jax.ShapeDtypeStruct((F, prep.n_tiles, row_tile), jnp.float32),
             jax.ShapeDtypeStruct((F, prep.n_tiles, row_tile), jnp.float32),
-            jax.ShapeDtypeStruct((F, prep.n_tiles, row_tile), jnp.float32),
         ),
     )(scalars, boxes.astype(jnp.float32), prep.starts, combo)
 
     lsi_v = lsi_v.reshape(F, -1)[:, :n]
-    valid = valid.reshape(F, -1)[:, :n] > 0
-    cnt = cnt.reshape(F, -1)[:, :n]
+    code = code.reshape(F, -1)[:, :n]
+    valid = jnp.mod(code, 2.0) > 0
+    cnt = jnp.floor(code / 2.0)
     if unsort:
         lsi_v = unsort_frames(lsi_v, prep.order0)
         valid = unsort_frames(valid, prep.order0)

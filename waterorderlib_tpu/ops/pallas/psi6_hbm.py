@@ -123,8 +123,9 @@ def _make_kernel(pad: int, seg: int, n_seg: int):
             oks.append(ok)
 
         psi = psi6_epilogue(ux, uy, uz, oks, count, r)
-        psi_ref[0, pl.ds(i, 1), :] = psi.reshape(1, r)
-        cnt_ref[0, pl.ds(i, 1), :] = count.reshape(1, r)
+        sub = jax.lax.rem(i, 8)
+        psi_ref[0, pl.ds(sub, 1), :] = psi.reshape(1, r)
+        cnt_ref[0, pl.ds(sub, 1), :] = count.reshape(1, r)
 
     return kernel
 
@@ -155,8 +156,10 @@ def psi6_traj_hbm(
     )
     n_seg = window // seg
     ext8 = jnp.pad(prep.ext_t, ((0, 0), (0, 5), (0, 0)))
+    # 8-tile output blocks (see lsi_hbm.py: whole-frame blocks scale with
+    # N and OOM scoped VMEM at million-atom frames)
     out_spec = pl.BlockSpec(
-        (1, prep.n_tiles, row_tile), lambda f, i, s1, s2, s3: (f, 0, 0),
+        (1, 8, row_tile), lambda f, i, s1, s2, s3: (f, i // 8, 0),
         memory_space=pltpu.VMEM,
     )
     psi, cnt = pl.pallas_call(
