@@ -260,6 +260,27 @@ def check_driver_mesh_option(df, da, tmp="/tmp/_sharded_driver_check"):
     print(f"driver mesh option {df}x{da}: ok")
 
 
+def check_msd_mesh(df, da, tmp="/tmp/_sharded_msd_check"):
+    """msd_calc(mesh=...) atom-TP sharding matches the single-device scan
+    (reduction order differs only in the final mean: allclose to f32)."""
+    import os
+    import shutil
+    from waterorderlib_tpu.io.synthetic import make_water_box
+    from waterorderlib_tpu.drivers.msd import msd_calc
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp + "/a")
+    os.makedirs(tmp + "/b")
+    top, traj = make_water_box(50, n_frames=6, seed=67)  # N % 8 != 0
+    m = pmesh.make_mesh(df, da)
+    msd_a, d_a = msd_calc(top, traj, output_dir=tmp + "/a")
+    msd_b, d_b = msd_calc(top, traj, output_dir=tmp + "/b", mesh=m)
+    np.testing.assert_allclose(msd_a, msd_b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(d_a, d_b, rtol=1e-4, atol=1e-8)
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(f"msd mesh option {df}x{da}: ok")
+
+
 def main():
     assert len(jax.devices()) >= 8, f"need 8 devices, have {len(jax.devices())}"
     check_mesh_shape(4, 2, n_frames=4, n_wat=128)
@@ -276,6 +297,7 @@ def main():
     check_rdf_mesh(4, 2)
     check_hb_mesh(4, 2)
     check_chempot_mesh(4, 2)
+    check_msd_mesh(4, 2)
     check_driver_mesh_option(4, 2)
     print("sharded checks: all ok")
 

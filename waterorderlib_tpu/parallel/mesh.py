@@ -518,3 +518,55 @@ def sharded_distance_histogram(
         out_specs=P(),
         check_vma=False,
     )(pos1, pos2, boxes)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def sharded_msd(
+    pos: jnp.ndarray,
+    boxes: jnp.ndarray,
+    mesh: Mesh,
+    mask: jnp.ndarray | None = None,
+):
+    """MSD(t) vs frame 0 with PBC unwrapping, ATOMS sharded over the whole
+    mesh.
+
+    The frame scan is inherently serial (the unwrap carry chains through
+    time, core.geometry.squared_displacement / calcSD waterlib.f90:923-951),
+    so — unlike the per-frame analyses — both mesh axes shard the atom
+    dimension and every device scans all frames over its atom block; the
+    per-frame displacement sums and atom counts are psum-reduced.
+
+    pos: (F, N, 3) with N divisible by the total device count; mask:
+    optional (N,) bool selecting real atoms (pad with False). Returns
+    msd (F,), replicated.
+    """
+    from waterorderlib_tpu.core import geometry
+
+    if mask is None:
+        mask = jnp.ones(pos.shape[1], bool)
+
+    def local(pos_blk, mask_blk, box):
+        ref = pos_blk[0]
+        w = mask_blk.astype(pos_blk.dtype)
+
+        def step(prev, frame):
+            p, bx = frame
+            sd, new = geometry.squared_displacement(p, prev, ref, bx)
+            return new, jnp.sum(jnp.sum(sd, axis=-1) * w)
+
+        _, sums = jax.lax.scan(step, ref, (pos_blk, box))
+        tot = jax.lax.psum(sums, ("frames", "atoms"))
+        cnt = jax.lax.psum(jnp.sum(w), ("frames", "atoms"))
+        return tot / jnp.maximum(cnt, 1.0)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, ("frames", "atoms"), None),
+            P(("frames", "atoms")),
+            P(None, None),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )(pos, mask, boxes)
