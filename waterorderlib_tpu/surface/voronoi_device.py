@@ -205,12 +205,22 @@ def _cell_moments(rel_all, slot_ok, k: int, eps: float):
     # line direction r_i x r_j
     pi = jnp.asarray(prs[:, 0])  # (P,)
     pj = jnp.asarray(prs[:, 1])
-    has = lambda ids: (
-        (planes_c[:, 0, None] == ids[None, :])
-        | (planes_c[:, 1, None] == ids[None, :])
-        | (planes_c[:, 2, None] == ids[None, :])
-    )
-    member = has(pi) & has(pj) & okc[:, None]  # (V, P)
+    # membership via two small matmuls instead of six (V, P) compare-ORs:
+    # incid (V, k) one-hot of each vertex's defining planes, picked up per
+    # pair end by a static (k, P) selector — MXU work in place of the VPU
+    # compare chains (the edge stage dominated the cell pipeline)
+    kio = jnp.arange(k, dtype=planes_c.dtype)
+    incid = jnp.any(planes_c[:, :, None] == kio[None, None, :], axis=1)  # (V, k)
+    np_p = len(prs)
+    sel_i = np.zeros((k, np_p), np.float32)
+    sel_i[prs[:, 0], np.arange(np_p)] = 1.0
+    sel_j = np.zeros((k, np_p), np.float32)
+    sel_j[prs[:, 1], np.arange(np_p)] = 1.0
+    mi_f = jnp.matmul(incid.astype(dtype), jnp.asarray(sel_i, dtype),
+                      precision=jax.lax.Precision.HIGHEST)
+    mj_f = jnp.matmul(incid.astype(dtype), jnp.asarray(sel_j, dtype),
+                      precision=jax.lax.Precision.HIGHEST)
+    member = (mi_f > 0.5) & (mj_f > 0.5) & okc[:, None]  # (V, P)
     tdir = jnp.cross(rel[prs[:, 0]], rel[prs[:, 1]])  # (P, 3)
     u = jnp.matmul(Xc, tdir.T, precision=jax.lax.Precision.HIGHEST)  # (V, P)
     big = jnp.asarray(3.0e37, dtype)
