@@ -232,12 +232,19 @@ def breakdown():
             lambda p, b: pairs.distance_histogram(p, p, b, 0.1, 150, same=True, row_block=512)
         ),
     }
+    def entry(ms, n_atoms, frames, **extra):
+        # self-describing breakdown entries (VERDICT r2 item 9): every
+        # number carries the config it was measured at
+        e = {"ms_per_frame": round(ms, 2), "n_atoms": n_atoms, "frames": frames}
+        e.update(extra)
+        return e
+
     for name, fn in cases.items():
         try:
             sec, _ = _time_batch(fn, pos_d, boxes_d, F, iters=4)
-            out[name + "_ms"] = round(sec * 1e3, 2)
+            out[name] = entry(sec * 1e3, N_WATERS, F)
         except Exception as e:
-            out[name + "_ms"] = f"failed: {type(e).__name__}"
+            out[name] = f"failed: {type(e).__name__}"
 
     # Willard-Chandler density field (81^3 grid x 4096 atoms): per-frame
     try:
@@ -277,9 +284,9 @@ def breakdown():
                 return res
 
         sec, _ = _time_batch(willard, posw, boxesw, Fw, iters=3)
-        out["willard_ms"] = round(sec * 1e3, 2)
+        out["willard"] = entry(sec * 1e3, N_WATERS, Fw, grid="81^3")
     except Exception as e:
-        out["willard_ms"] = f"failed: {type(e).__name__}"
+        out["willard"] = f"failed: {type(e).__name__}"
 
     # SASA (occluder-pruned point occlusion, 4096 atoms x 1000 points)
     try:
@@ -304,9 +311,62 @@ def breakdown():
             return res
 
         sec, _ = _time_batch(sasa_fn, poss, boxess, Fs, iters=3)
-        out["sasa_ms"] = round(sec * 1e3, 2)
+        out["sasa"] = entry(sec * 1e3, N_WATERS, Fs, n_sphere_points=1000)
     except Exception as e:
-        out["sasa_ms"] = f"failed: {type(e).__name__}"
+        out["sasa"] = f"failed: {type(e).__name__}"
+
+    # spherical-harmonic coefficients, full l<=12 table (batched m-column
+    # Legendre recursion, order/sphharm.py)
+    try:
+        from waterorderlib_tpu.order import sphharm
+
+        Fh = 4
+        box_arr = jnp.array([box_len] * 3, jnp.float32)
+
+        def sph_once(p):
+            re, im, cnt = sphharm._coeff_sums_mpos(
+                p, p, box_arr, 0.0, 3.413, 12, 16, 512
+            )
+            return re, im, cnt
+
+        sph = jax.jit(sph_once)
+        r0 = sph(pos_d[0])
+        jax.block_until_ready(r0)
+        import time as _time
+
+        best = float("inf")
+        for i in range(3):
+            t0 = _time.time()
+            for f in range(Fh):
+                r = sph(pos_d[f] + jnp.float32(1e-4 * (i + 1)))
+            _ = np.asarray(r[0][0, 0, :4])
+            best = min(best, (_time.time() - t0) / Fh)
+        out["sphharm_l12"] = entry(best * 1e3, N_WATERS, Fh, max_degree=12)
+    except Exception as e:
+        out["sphharm_l12"] = f"failed: {type(e).__name__}"
+
+    # device Voronoi cells at 12k atoms (surface/voronoi_device.py): the
+    # round-2 host path cost 2050 ms/frame at this size
+    try:
+        from waterorderlib_tpu.surface.voronoi_device import voronoi_cells_device
+
+        nv = 12288
+        posv, _, boxv = _make_traj(nv, 3, seed=5)
+        r = voronoi_cells_device(posv[0], boxv, nv)
+        ncert = int(np.asarray(r["certified"]).sum())
+        import time as _time
+
+        best = float("inf")
+        for i in range(3):
+            t0 = _time.time()
+            r = voronoi_cells_device(posv[i % 3], boxv, nv)
+            _ = np.asarray(r["vol"][:8])
+            best = min(best, _time.time() - t0)
+        out["voronoi_device"] = entry(
+            best * 1e3, nv, 1, certified_frac=round(ncert / nv, 4)
+        )
+    except Exception as e:
+        out["voronoi_device"] = f"failed: {type(e).__name__}"
     return out
 
 

@@ -545,10 +545,11 @@ def _host_cell(rel: np.ndarray):
     return float(hull.volume), float(hull.area), face_area, nverts, r_cell
 
 
-# third device tier measured nearly useless (284 -> 241 uncertified at 12k;
-# the residue fails f32 closure on mirror-degenerate boundary cells, which
-# more planes cannot fix) — two tiers, then the host closes the residue
-DEFAULT_TIERS = ((32, 64), (48, 96))
+# escalation ladder: the third tier became worthwhile once the
+# endpoint-identity dedup + face-gap certificates landed (it now rescues
+# ~60% of the tier-2 residue at 12k — extra_cut cells that genuinely need
+# more than 48 build planes; before those fixes it rescued almost nothing)
+DEFAULT_TIERS = ((32, 64), (48, 96), (64, 128))
 
 
 def voronoi_volumes_hybrid(
@@ -583,6 +584,7 @@ def voronoi_volumes_hybrid(
         out2 = voronoi_cells_device(
             points, box_l, num, k=k2, k_search=ks2,
             row_block=min(row_block, max(1, len(bad_idx))), centers_idx=bad_idx,
+            win=0,  # small subset: full scan beats a coverage-vetoed window
         )
         tier_rows.append((bad_idx, out2))
         c2 = np.asarray(out2["certified"])
@@ -720,6 +722,7 @@ def voronoi_contacts_hybrid(
         out2 = voronoi_cells_device(
             points, box_l, num, k=k2, k_search=ks2,
             row_block=min(row_block, max(1, len(bad_idx))), centers_idx=bad_idx,
+            win=0,  # small subset: full scan beats a coverage-vetoed window
         )
         tier_rows.append((bad_idx, out2))
         c2 = np.asarray(out2["certified"])
