@@ -256,15 +256,20 @@ def breakdown():
         g = jnp.linspace(0.0, box_len, 81).astype(jnp.float32)
         on_tpu = jax.devices()[0].platform == "tpu"
         if on_tpu:
-            from waterorderlib_tpu.ops.pallas.willard_grid import willard_density_grid
+            from waterorderlib_tpu.ops.pallas.willard_grid import (
+                suggest_window_x,
+                willard_density_grid,
+            )
 
             g0, dg = 0.0, float(box_len / 81)
+            wxw, pxw = suggest_window_x(N_WATERS, float(box_len))
 
             @jax.jit
             def willard(p, b):
                 def one(carry, frame):
                     d, _, _ = willard_density_grid(
-                        frame[0], frame[1], g0, dg, 81, g0, dg, 81, g0, dg, 81, 2.4
+                        frame[0], frame[1], g0, dg, 81, g0, dg, 81, g0, dg, 81, 2.4,
+                        window_x=wxw, pad_x=pxw,
                     )
                     return carry, jnp.sum(d)
 

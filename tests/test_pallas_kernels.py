@@ -350,6 +350,50 @@ def test_willard_grid_kernel_small_system():
 
 
 @needs_tpu
+def test_willard_grid_kernel_x_window():
+    """x-windowed plane kernel (window_x > 0): per x-row sub-window scan
+    must match the full-window kernel and the XLA field, certified, incl.
+    an off-box grid origin."""
+    from waterorderlib_tpu.ops.pallas.willard_grid import (
+        suggest_window_x,
+        willard_density_grid,
+    )
+    from waterorderlib_tpu.density import fields
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n = 4096
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    pos = jnp.asarray(water_oxygen_lattice(n, box_len, seed=47), jnp.float32)
+    box = jnp.asarray([box_len] * 3, dtype=jnp.float32)
+    ng = 33
+    wx, px = suggest_window_x(n, float(box_len))
+    assert wx > 0 and px >= 128  # the x path must actually engage at this N
+    for g0 in (0.0, -7.3):
+        dg = float((box_len + 6.0) / ng) if g0 < 0 else float(box_len / ng)
+        dens, norms, covered = willard_density_grid(
+            pos, box, g0, dg, ng, g0, dg, ng, g0, dg, ng, 2.4,
+            window_x=wx, pad_x=px,
+        )
+        assert bool(covered)
+        d_full, _, cov_full = willard_density_grid(
+            pos, box, g0, dg, ng, g0, dg, ng, g0, dg, ng, 2.4
+        )
+        assert bool(cov_full)
+        np.testing.assert_allclose(
+            np.asarray(dens), np.asarray(d_full), atol=2e-6, rtol=1e-5
+        )
+        g = jnp.asarray(np.arange(ng) * dg + g0, jnp.float32)
+        d_ref, n_ref = fields.willard_density_field(
+            pos, g, g, g, box, 2.4, nx=ng, ny=ng, nz=ng
+        )
+        np.testing.assert_allclose(
+            np.asarray(dens), np.asarray(d_ref), atol=2e-6, rtol=1e-5
+        )
+        dots = np.sum(np.asarray(norms) * np.asarray(n_ref), axis=-1)
+        assert np.mean(dots > 0.98) > 0.999
+
+
+@needs_tpu
 def test_psi6_kernel_matches_xla():
     from waterorderlib_tpu.ops.pallas import psi6_kernel
     from waterorderlib_tpu.order import psi6 as psi6_mod

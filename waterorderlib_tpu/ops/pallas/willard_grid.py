@@ -106,7 +106,114 @@ def _make_kernel(nx: int, ny_sub: int, nx_lanes: int, W: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("nx", "ny", "nz", "window", "pad"))
+def _make_kernel_x(nx: int, ny_sub: int, nx_lanes: int, n_extx: int, wx: int):
+    """x-windowed variant: the input block is one plane's z-window, x-sorted
+    with x-boundary copies; each x-row scans a 128-aligned `wx`-lane
+    sub-window instead of the whole plane window (the known ~2x in the
+    plane kernel — atoms beyond 3*sigma in x contributed only zeros)."""
+
+    def kernel(scalars_ref, startsx_ref, extp_ref,
+               dens_ref, nx_ref, ny_ref, nz_ref,
+               acc_d, acc_x, acc_y, acc_z, ey_s, dy_s, dz_s):
+        k = pl.program_id(0)
+        sig2 = scalars_ref[0]
+        inv2sig2 = scalars_ref[1]
+        peak = scalars_ref[2]
+        shift = scalars_ref[3]
+        bx, by, bz = scalars_ref[4], scalars_ref[5], scalars_ref[6]
+        gx0, dgx = scalars_ref[7], scalars_ref[8]
+        gy0, dgy = scalars_ref[9], scalars_ref[10]
+        gz0, dgz = scalars_ref[11], scalars_ref[12]
+
+        def mi(d, box_l):
+            d = jnp.where(d > box_l * 0.5, d - box_l, d)
+            return jnp.where(d < -box_l * 0.5, d + box_l, d)
+
+        def wrap(v, box_l):
+            return v - box_l * jnp.floor(v / box_l)
+
+        ys = extp_ref[0, 1, :].reshape(1, n_extx)
+        zs = extp_ref[0, 2, :].reshape(1, n_extx)
+
+        gz = wrap(gz0 + dgz * k.astype(jnp.float32), bz)
+        # (8, n_extx) scratch, row 0 live: single-sublane scratches are
+        # fragile under Mosaic's (8, 128) tiling
+        dz_s[0:1, :] = mi(gz - zs, bz)
+
+        j_iota = jax.lax.broadcasted_iota(jnp.int32, (ny_sub, 1), 0).astype(jnp.float32)
+        gy = wrap(gy0 + dgy * j_iota, by)  # (ny_sub, 1)
+        dy = mi(gy - ys, by)  # (ny_sub, n_extx)
+        dy_s[...] = dy
+        ey_s[...] = jnp.exp(-(dy * dy) * inv2sig2)
+
+        nine_sig2 = 9.0 * sig2
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, nx_lanes), 1)
+
+        acc_d[...] = jnp.zeros((ny_sub, nx_lanes), jnp.float32)
+        acc_x[...] = jnp.zeros((ny_sub, nx_lanes), jnp.float32)
+        acc_y[...] = jnp.zeros((ny_sub, nx_lanes), jnp.float32)
+        acc_z[...] = jnp.zeros((ny_sub, nx_lanes), jnp.float32)
+
+        for i in range(nx):
+            sx = startsx_ref[k * nx + i] * 128
+            xs = extp_ref[0, 0, pl.ds(sx, wx)].reshape(1, wx)
+            gx = wrap(gx0 + dgx * jnp.float32(i), bx)
+            dx = mi(gx - xs, bx)  # (1, wx)
+            dzv = dz_s[0, pl.ds(sx, wx)].reshape(1, wx)
+            dxz_sq = dx * dx + dzv * dzv
+            exz = jnp.exp(-dxz_sq * inv2sig2) * peak  # (1, wx)
+            eyv = ey_s[:, pl.ds(sx, wx)]  # (ny_sub, wx)
+            dyv = dy_s[:, pl.ds(sx, wx)]
+            g = eyv * exz
+            dsq = dyv * dyv + dxz_sq
+            inside = dsq < nine_sig2
+            gm = jnp.where(inside, g, 0.0)
+            n_in = jnp.sum(inside.astype(jnp.float32), axis=1, keepdims=True)
+            dsum = jnp.sum(gm, axis=1, keepdims=True) - shift * n_in
+            nxs = jnp.sum(gm * (-dx), axis=1, keepdims=True)
+            nys = jnp.sum(gm * (-dyv), axis=1, keepdims=True)
+            nzs = jnp.sum(gm * (-dzv), axis=1, keepdims=True)
+            hot = (lane == i).astype(jnp.float32)  # (1, nx_lanes)
+            acc_d[...] = acc_d[...] + dsum * hot
+            acc_x[...] = acc_x[...] + nxs * hot
+            acc_y[...] = acc_y[...] + nys * hot
+            acc_z[...] = acc_z[...] + nzs * hot
+
+        inv_sig2 = 1.0 / sig2
+        dens_ref[0] = acc_d[...]
+        nx_ref[0] = acc_x[...] * inv_sig2
+        ny_ref[0] = acc_y[...] * inv_sig2
+        nz_ref[0] = acc_z[...] * inv_sig2
+
+    return kernel
+
+
+def suggest_window_x(
+    n: int,
+    box_x: float,
+    window: int = 2048,
+    smoothlen: float = 2.4,
+    slack: float = 1.35,
+):
+    """Static (window_x, pad_x) for willard_density_grid, or (0, 0) when the
+    x sub-window cannot help (small/brute systems, or a cut spanning most of
+    the box). Purely heuristic — correctness is guarded by the kernel's
+    coverage certificate, a miss only costs the fallback path."""
+    n128 = max(128, -(-n // 128) * 128)
+    if n128 <= window:
+        return 0, 0  # brute path: every window holds all atoms anyway
+    w = min(window, (n // 128) * 128)
+    cut = 3.0 * smoothlen
+    per_row = w * (2.0 * cut) / box_x
+    wx = int(-(-(per_row * slack + 128.0) // 128) * 128)
+    pad_x = int(-(-(1.5 * w * cut / box_x) // 128) * 128)
+    pad_x = max(128, min(pad_x, w))
+    if wx >= w:
+        return 0, 0
+    return wx, pad_x
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "nz", "window", "pad", "window_x", "pad_x"))
 def willard_density_grid(
     pos: jnp.ndarray,
     box: jnp.ndarray,
@@ -116,6 +223,8 @@ def willard_density_grid(
     smoothlen: float = 2.4,
     window: int = 2048,
     pad: int = 640,
+    window_x: int = 0,
+    pad_x: int = 0,
 ):
     """Willard-Chandler field on a uniform grid, one kernel launch.
 
@@ -123,6 +232,14 @@ def willard_density_grid(
     Returns (dens (nx, ny, nz), norms (nx, ny, nz, 3) unit normals,
     covered () bool certificate). Matches
     fields.willard_density_points(pos, grid, box, smoothlen) to f32.
+
+    window_x > 0 additionally x-sorts each plane's z-window (with pad_x
+    x-boundary copies) so every x-row scans a 128-aligned window_x-lane
+    sub-window instead of the whole plane window; use suggest_window_x for
+    static sizes. Exactness is certified: per-(plane, row) coverage, pad
+    span >= 3*sigma, and the structural no-double-count guarantee that an
+    atom and its x-copy sit exactly `window` slots apart in the x-sorted
+    array, farther than any window_x < window sub-window reaches.
     """
     n = pos.shape[0]
     pad = min(pad, n)  # boundary copies cannot exceed the atom count
@@ -174,8 +291,6 @@ def willard_density_grid(
         covered = jnp.all(ends - starts <= w) & pad_ok
         starts = (starts // 128).astype(jnp.int32)
 
-    ext_t = jnp.transpose(ext).astype(jnp.float32)
-
     peak = 1.0 / (2.0 * np.pi * sig2) ** 1.5
     shift = float(np.exp(-4.5)) * peak
     scalars = jnp.stack([
@@ -194,17 +309,80 @@ def willard_density_grid(
         (1, ny_sub, nx_lanes), lambda k, s1, s2: (k, 0, 0), memory_space=pltpu.VMEM
     )
     shape = jax.ShapeDtypeStruct((nz, ny_sub, nx_lanes), jnp.float32)
-    dens, nxf, nyf, nzf = pl.pallas_call(
-        _make_kernel(nx, ny_sub, nx_lanes, w),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(nz,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=(out_spec, out_spec, out_spec, out_spec),
-            scratch_shapes=[pltpu.VMEM((ny_sub, nx_lanes), jnp.float32)] * 4,
-        ),
-        out_shape=(shape, shape, shape, shape),
-    )(scalars, starts, ext_t)
+
+    use_x = (
+        window_x > 0 and n128 > window and window_x % 128 == 0
+        and pad_x >= 128 and pad_x % 128 == 0 and window_x < w
+    )
+    if use_x:
+        # per-plane x-sorted windows: gather each plane's z-window, sort by
+        # wrapped x, append pad_x boundary copies at both ends. An atom and
+        # its x-copy end up exactly `w` apart (left copy c is sorted slot
+        # w-pad_x+c at ext index w+c vs copy index c; right copy c is slot c
+        # at ext index pad_x+c vs copy index pad_x+w+c), so no window_x < w
+        # sub-window can hold both — no min-image double count.
+        px = min(pad_x, w)
+        idx = starts[:, None].astype(jnp.int32) * 128 + jnp.arange(w)[None, :]
+        win = ext[idx]  # (nz, w, 3)
+        Lx = box[0]
+        xw = jnp.mod(win[..., 0], Lx)
+        ordx = jnp.argsort(xw, axis=1)
+        win_s = jnp.take_along_axis(win, ordx[..., None], axis=1)
+        win_s = win_s.at[..., 0].set(jnp.take_along_axis(xw, ordx, axis=1))
+        left = win_s[:, -px:, :].at[..., 0].add(-Lx)
+        right = win_s[:, :px, :].at[..., 0].add(Lx)
+        extx = jnp.concatenate([left, win_s, right], axis=1)  # (nz, n_extx, 3)
+        n_extx = w + 2 * px
+        ex_x = extx[..., 0]  # (nz, n_extx), sorted per plane
+        gxv = gx0 + dgx * jnp.arange(nx, dtype=jnp.float32)
+        gx_w = jnp.mod(gxv, Lx)
+        starts_x = jax.vmap(
+            lambda row: jnp.searchsorted(row, gx_w - cut, side="left")
+        )(ex_x)  # (nz, nx)
+        ends_x = jax.vmap(
+            lambda row: jnp.searchsorted(row, gx_w + cut, side="right")
+        )(ex_x)
+        starts_x = (starts_x // 128) * 128
+        starts_x = jnp.clip(starts_x, 0, n_extx - window_x)
+        cov_x = jnp.all(ends_x - starts_x <= window_x)
+        pad_ok_x = jnp.all(ex_x[:, 0] <= jnp.min(gx_w) - cut) & jnp.all(
+            ex_x[:, -1] >= jnp.max(gx_w) + cut
+        )
+        covered = covered & cov_x & pad_ok_x
+        extp = jnp.transpose(extx, (0, 2, 1)).astype(jnp.float32)  # (nz, 3, n_extx)
+        startsx_flat = (starts_x // 128).astype(jnp.int32).reshape(-1)
+
+        in_spec_x = pl.BlockSpec(
+            (1, 3, n_extx), lambda k, s1, s2: (k, 0, 0), memory_space=pltpu.VMEM
+        )
+        dens, nxf, nyf, nzf = pl.pallas_call(
+            _make_kernel_x(nx, ny_sub, nx_lanes, n_extx, window_x),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(nz,),
+                in_specs=[in_spec_x],
+                out_specs=(out_spec, out_spec, out_spec, out_spec),
+                scratch_shapes=(
+                    [pltpu.VMEM((ny_sub, nx_lanes), jnp.float32)] * 4
+                    + [pltpu.VMEM((ny_sub, n_extx), jnp.float32)] * 2
+                    + [pltpu.VMEM((8, n_extx), jnp.float32)]
+                ),
+            ),
+            out_shape=(shape, shape, shape, shape),
+        )(scalars, startsx_flat, extp)
+    else:
+        ext_t = jnp.transpose(ext).astype(jnp.float32)
+        dens, nxf, nyf, nzf = pl.pallas_call(
+            _make_kernel(nx, ny_sub, nx_lanes, w),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(nz,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=(out_spec, out_spec, out_spec, out_spec),
+                scratch_shapes=[pltpu.VMEM((ny_sub, nx_lanes), jnp.float32)] * 4,
+            ),
+            out_shape=(shape, shape, shape, shape),
+        )(scalars, starts, ext_t)
 
     # (nz, ny, nx) -> (nx, ny, nz)
     def arrange(a):

@@ -66,13 +66,19 @@ def density_grid(
     if jax.devices()[0].platform == "tpu":
         # z-slab grid kernel first (certified; ~10x the points kernel),
         # generic points kernel as the fallback
-        from waterorderlib_tpu.ops.pallas.willard_grid import willard_density_grid
+        from waterorderlib_tpu.ops.pallas.willard_grid import (
+            suggest_window_x,
+            willard_density_grid,
+        )
 
         g0, dg = float(g[0]), float(spacing)
+        box_x = float(np.asarray(box).reshape(-1)[0])
+        wx, px = suggest_window_x(len(wat_pos), box_x, smoothlen=smoothlen)
         dens, _, covered = willard_density_grid(
             jnp.asarray(wat_pos, jnp.float32),
             jnp.asarray(box, jnp.float32).reshape(-1),
             g0, dg, n, g0, dg, n, g0, dg, n, smoothlen,
+            window_x=wx, pad_x=px,
         )
         if not bool(covered):
             from waterorderlib_tpu.ops.pallas.willard_kernel import (
