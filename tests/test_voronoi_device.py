@@ -201,6 +201,65 @@ def test_tier_escalation_and_fallback_counts():
     np.testing.assert_allclose(vd, vh, rtol=2e-2)
 
 
+def test_pallas_topk_matches_windowed_scan():
+    """The Pallas carried-top-K candidate search (ops/pallas/voronoi_topk)
+    must agree with the XLA windowed scan: same distances, same indices at
+    strictly-ordered slots (ties may legally permute), full coverage, and
+    identical certified cell volumes end-to-end."""
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("pallas kernel needs the TPU backend")
+    import jax.numpy as jnp
+
+    from waterorderlib_tpu.ops.pallas.voronoi_topk import voronoi_topk_pallas
+    from waterorderlib_tpu.surface.voronoi_device import (
+        _NO_PBC_BOX,
+        _cells_blocked,
+        _windowed_topk,
+        mirror_points_device,
+    )
+
+    pts_np, box_l = _water_points(n=1024, seed=5)
+    pts = jnp.asarray(pts_np, jnp.float32)
+    ext = mirror_points_device(pts, box_l)
+    centers = pts
+    K = 64
+    d_p, i_p, v_p, c_p = voronoi_topk_pallas(
+        centers, ext, K, row_block=128, win=int(ext.shape[0])
+    )
+    d_w, i_w, v_w, c_w = _windowed_topk(centers, ext, K, 128, int(ext.shape[0]))
+    d_p, i_p, v_p, c_p = map(np.asarray, (d_p, i_p, v_p, c_p))
+    d_w, i_w = np.asarray(d_w), np.asarray(i_w)
+    assert v_p.all() and c_p.all()
+    np.testing.assert_allclose(d_p, d_w, atol=2e-5)
+    strict = np.ones_like(d_p, bool)
+    gap = np.abs(d_p[:, :-1] - d_p[:, 1:]) > 1e-5
+    strict[:, :-1] &= gap
+    strict[:, 1:] &= gap
+    assert ((i_p == i_w) | ~strict).all()
+
+    # end-to-end: identical certified volumes through _cells_blocked
+    box = jnp.asarray([_NO_PBC_BOX] * 3, jnp.float32)
+    out_p = _cells_blocked(
+        centers, ext, box, 32, K, 256, 1e-4, win=int(ext.shape[0]),
+        topk_impl="pallas",
+    )
+    out_w = _cells_blocked(
+        centers, ext, box, 32, K, 256, 1e-4, win=int(ext.shape[0])
+    )
+    cert = lambda o: (
+        np.asarray(o["ok_shape"])
+        & np.asarray(o["win_covered"])
+        & (np.asarray(o["nbr_dist"][:, -1]) >= 2 * np.asarray(o["r_cell"]))
+    )
+    cp, cw = cert(out_p), cert(out_w)
+    both = cp & cw
+    assert both.sum() >= 0.4 * len(pts_np)  # tier-1 f32 rate at this size
+    vp, vw = np.asarray(out_p["vol"]), np.asarray(out_w["vol"])
+    np.testing.assert_allclose(vp[both], vw[both], rtol=1e-5)
+
+
 def test_windowed_topk_matches_full_scan():
     """At sizes where the z-window engages, windowed and full-scan candidate
     search must agree on every covered cell, and coverage must be high."""

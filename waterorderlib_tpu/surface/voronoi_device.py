@@ -115,7 +115,7 @@ def mirror_points_device(points: jnp.ndarray, box_l) -> jnp.ndarray:
     return jnp.concatenate(out, axis=0)
 
 
-def _cell_moments(rel_all, slot_ok, k: int, eps: float):
+def _cell_moments(rel_all, slot_ok, k: int, eps: float, compact_v: int = _COMPACT_V):
     """Moments of one Voronoi cell.
 
     rel_all: (K_search, 3) relative candidate positions (nearest first);
@@ -177,7 +177,7 @@ def _cell_moments(rel_all, slot_ok, k: int, eps: float):
     # compact the valid vertices (~2 per face on real cells, plus mirror
     # duplicates) so the edge/face stages run on V slots instead of C(K,3)
     # triples — the dominant cost at K=32 otherwise
-    V = min(_COMPACT_V, X.shape[0])
+    V = min(compact_v, X.shape[0])
     score, cidx = jax.lax.top_k(vert_ok.astype(jnp.float32), V)  # valid first
     okc = score > 0.5  # (V,)
     overflow = jnp.sum(vert_ok) > V  # cannot represent the cell: veto below
@@ -407,9 +407,18 @@ def _suggest_win(n_real: int, p4: int, box_l: float, k_search: int) -> int:
     return win
 
 
-@partial(jax.jit, static_argnames=("k", "k_search", "row_block", "eps", "win"))
-def _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=None):
-    if win is not None and win < ext.shape[0]:
+@partial(jax.jit, static_argnames=("k", "k_search", "row_block", "eps", "win", "topk_impl", "compact_v"))
+def _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=None,
+                   topk_impl="window", compact_v=_COMPACT_V):
+    if topk_impl == "pallas":
+        from waterorderlib_tpu.ops.pallas.voronoi_topk import voronoi_topk_pallas
+
+        dist, idx, valid, win_cov = voronoi_topk_pallas(
+            centers, ext, k_search, row_block=128,
+            win=win if (win is not None and win > 0) else ext.shape[0],
+        )
+        nl = ops_pairs.NeighborList(dist, idx, valid, jnp.sum(valid, axis=-1))
+    elif win is not None and win < ext.shape[0]:
         dist, idx, valid, win_cov = _windowed_topk(
             centers, ext, k_search, row_block, win
         )
@@ -424,7 +433,9 @@ def _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=None):
 
     def one_block(args):
         rel, ok = args
-        return jax.vmap(lambda r, o: _cell_moments(r, o, k, eps))(rel, ok)
+        return jax.vmap(
+            lambda r, o: _cell_moments(r, o, k, eps, compact_v)
+        )(rel, ok)
 
     ns = centers.shape[0]
     pad = (-ns) % row_block
@@ -451,6 +462,43 @@ def _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=None):
     return out
 
 
+def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
+                    compact_v=_COMPACT_V):
+    """Route the candidate search: the Pallas carried-top-K kernel on TPU
+    for full-frame tiers (the XLA lax.top_k stage was the largest single
+    cost of the device tessellation), the XLA windowed/full scans
+    otherwise. Narrow fallback: a Mosaic/runtime failure logs the tier and
+    retries on the XLA window path with identical semantics."""
+    import jax as _jax
+
+    from waterorderlib_tpu.ops.pallas.voronoi_topk import fits_voronoi_topk
+    from waterorderlib_tpu.utils.logging import get_logger
+
+    nc = int(centers.shape[0])
+    p4 = int(ext.shape[0])
+    use_pallas = (
+        _jax.devices()[0].platform == "tpu"
+        and nc >= 256
+        and p4 >= 4096
+        and fits_voronoi_topk(128, 768, k_search, -(-p4 // 128) * 128, num=nc)
+    )
+    if use_pallas:
+        try:
+            out = _cells_blocked(
+                centers, ext, box, k, k_search, row_block, eps, win=win,
+                topk_impl="pallas", compact_v=compact_v,
+            )
+            _jax.block_until_ready(out["vol"])
+            return out
+        except (ImportError, _jax.errors.JaxRuntimeError) as e:
+            get_logger(__name__).warning(
+                "voronoi topk pallas kernel failed (%s: %s); falling back to "
+                "the XLA windowed scan", type(e).__name__, e,
+            )
+    return _cells_blocked(centers, ext, box, k, k_search, row_block, eps,
+                          win=win, compact_v=compact_v)
+
+
 def voronoi_cells_device(
     points,
     box_l: float,
@@ -461,6 +509,7 @@ def voronoi_cells_device(
     eps: float | None = None,
     centers_idx=None,
     win: int | None = None,
+    compact_v: int = _COMPACT_V,
 ):
     """Per-cell Voronoi moments for the first `num` points on device.
 
@@ -503,9 +552,9 @@ def voronoi_cells_device(
         )
     elif win <= 0:
         win = int(ext.shape[0])  # force the full scan
-    out = _cells_blocked(
+    out = _dispatch_cells(
         centers, ext, box, k, k_search, min(row_block, max(1, nc)), float(eps),
-        win=win,
+        win, compact_v=compact_v,
     )
     d_far = out["nbr_dist"][:, -1]  # +inf when fewer than K candidates exist
     out["certified"] = (
@@ -548,8 +597,20 @@ def _host_cell(rel: np.ndarray):
 # escalation ladder: the third tier became worthwhile once the
 # endpoint-identity dedup + face-gap certificates landed (it now rescues
 # ~60% of the tier-2 residue at 12k — extra_cut cells that genuinely need
-# more than 48 build planes; before those fixes it rescued almost nothing)
-DEFAULT_TIERS = ((32, 64), (48, 96), (64, 128))
+# more than 48 build planes; before those fixes it rescued almost nothing).
+# Tiers may carry an optional third element: the vertex-compaction width
+# compact_v. Tier-1 runs narrow (128 slots — ample for liquid cells, and
+# the extremes-selection cost of the edge stage scales with it); cells
+# whose raw triple copies overflow (degenerate lattices) veto their
+# certificate and are rescued by the wider escalation tiers.
+DEFAULT_TIERS = ((32, 64, 128), (48, 96, 256), (64, 128, 256))
+
+
+def _tier_unpack(tier):
+    if len(tier) == 2:
+        return int(tier[0]), int(tier[1]), _COMPACT_V
+    k, ks, v = tier
+    return int(k), int(ks), int(v)
 
 
 def voronoi_volumes_hybrid(
@@ -569,20 +630,22 @@ def voronoi_volumes_hybrid(
     closes them, matching orderParam_lib.py:920-962 semantics).
     """
     points = np.asarray(points)
-    k0, ks0 = tiers[0]
+    k0, ks0, v0 = _tier_unpack(tiers[0])
     out = voronoi_cells_device(
-        points, box_l, num, k=k0, k_search=ks0, row_block=row_block
+        points, box_l, num, k=k0, k_search=ks0, row_block=row_block,
+        compact_v=v0,
     )
     vol = np.asarray(out["vol"], np.float64).copy()
     area = np.asarray(out["area"], np.float64).copy()
     cert = np.asarray(out["certified"]).copy()
     tier_rows = [(np.arange(num), out)]
-    for k2, ks2 in tiers[1:]:
+    for tier in tiers[1:]:
+        k2, ks2, v2 = _tier_unpack(tier)
         bad_idx = np.where(~cert)[0]
         if not len(bad_idx):
             break
         out2 = voronoi_cells_device(
-            points, box_l, num, k=k2, k_search=ks2,
+            points, box_l, num, k=k2, k_search=ks2, compact_v=v2,
             row_block=min(row_block, max(1, len(bad_idx))), centers_idx=bad_idx,
             win=0,  # small subset: full scan beats a coverage-vetoed window
         )
@@ -700,10 +763,10 @@ def voronoi_contacts_hybrid(
     points = np.asarray(points)
     P = len(points)
     sel_rows = np.arange(num) if rows is None else np.asarray(rows, int)
-    k0, ks0 = tiers[0]
+    k0, ks0, v0 = _tier_unpack(tiers[0])
     out = voronoi_cells_device(
         points, box_l, num, k=k0, k_search=ks0, row_block=row_block,
-        centers_idx=None if rows is None else sel_rows,
+        centers_idx=None if rows is None else sel_rows, compact_v=v0,
     )
     cert = np.asarray(out["certified"]).copy()  # in sel_rows space
     vol = np.zeros(num)
@@ -714,13 +777,14 @@ def voronoi_contacts_hybrid(
     _scatter_contact_rows(contacts, out, sel_rows, cert, P, num)
     tier_rows = [(sel_rows, out)]
 
-    for k2, ks2 in tiers[1:]:
+    for tier in tiers[1:]:
+        k2, ks2, v2 = _tier_unpack(tier)
         bad_pos = np.where(~cert)[0]
         if not len(bad_pos):
             break
         bad_idx = sel_rows[bad_pos]
         out2 = voronoi_cells_device(
-            points, box_l, num, k=k2, k_search=ks2,
+            points, box_l, num, k=k2, k_search=ks2, compact_v=v2,
             row_block=min(row_block, max(1, len(bad_idx))), centers_idx=bad_idx,
             win=0,  # small subset: full scan beats a coverage-vetoed window
         )
