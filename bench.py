@@ -357,16 +357,15 @@ def breakdown():
 
         nv = 12288
         posv, _, boxv = _make_traj(nv, 3, seed=5)
-        # tier-1 production config (DEFAULT_TIERS[0]): k=32, k_search=64,
-        # 128-slot vertex compaction
-        r = voronoi_cells_device(posv[0], boxv, nv, compact_v=128)
+        # tier-1 production config (DEFAULT_TIERS[0]): k=32, k_search=64
+        r = voronoi_cells_device(posv[0], boxv, nv)
         ncert = int(np.asarray(r["certified"]).sum())
         import time as _time
 
         best = float("inf")
         for i in range(3):
             t0 = _time.time()
-            r = voronoi_cells_device(posv[i % 3], boxv, nv, compact_v=128)
+            r = voronoi_cells_device(posv[i % 3], boxv, nv)
             _ = np.asarray(r["vol"][:8])
             best = min(best, _time.time() - t0)
         out["voronoi_device"] = entry(

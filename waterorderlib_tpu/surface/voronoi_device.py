@@ -56,11 +56,6 @@ _NO_PBC_BOX = 3.0e18
 # Far parking distance for unused candidate slots (mirror set is always
 # >= 3 points, so slots only go unused for tiny inputs).
 _FAR = 1.0e6
-# Compacted vertex slots per cell: real cells carry ~2(F-2) <= ~40 geometric
-# vertices, but a degenerate vertex on p coincident planes arrives as C(p,3)
-# triple copies BEFORE dedup (a BCC lattice cell measures up to ~200 copies),
-# so compaction must hold the raw copies; overflow vetoes the certificate.
-_COMPACT_V = 256
 
 
 @lru_cache(maxsize=8)
@@ -115,7 +110,7 @@ def mirror_points_device(points: jnp.ndarray, box_l) -> jnp.ndarray:
     return jnp.concatenate(out, axis=0)
 
 
-def _cell_moments(rel_all, slot_ok, k: int, eps: float, compact_v: int = _COMPACT_V):
+def _cell_moments(rel_all, slot_ok, k: int, eps: float):
     """Moments of one Voronoi cell.
 
     rel_all: (K_search, 3) relative candidate positions (nearest first);
@@ -174,61 +169,45 @@ def _cell_moments(rel_all, slot_ok, k: int, eps: float, compact_v: int = _COMPAC
     inside = jnp.all(slack_build >= -tol_build, axis=-1)
     vert_ok = ok_det & inside  # (C,)
 
-    # compact the valid vertices (~2 per face on real cells, plus mirror
-    # duplicates) so the edge/face stages run on V slots instead of C(K,3)
-    # triples — the dominant cost at K=32 otherwise
-    V = min(compact_v, X.shape[0])
-    score, cidx = jax.lax.top_k(vert_ok.astype(jnp.float32), V)  # valid first
-    okc = score > 0.5  # (V,)
-    overflow = jnp.sum(vert_ok) > V  # cannot represent the cell: veto below
-    Xc = X[cidx]  # (V, 3)
-    planes_c = jnp.asarray(tri)[cidx]  # (V, 3) plane ids of each vertex
-
-    vnorm = nrm(Xc)
-    r_cell = jnp.max(jnp.where(okc, vnorm, 0.0))
+    vnorm = nrm(X)  # (C,)
+    r_cell = jnp.max(jnp.where(vert_ok, vnorm, 0.0))
     # does any beyond-build plane cut the built cell?
     slack_extra = s_all[None, k:] - jnp.matmul(
-        Xc, rel_all[k:].T, precision=jax.lax.Precision.HIGHEST
-    )  # (V, K_search - k)
+        X, rel_all[k:].T, precision=jax.lax.Precision.HIGHEST
+    )  # (C, K_search - k)
     tol_extra = jnp.asarray(eps, dtype) * (
         s_all[None, k:] + vnorm[:, None] * nrm(rel_all[k:])[None, :]
     )
-    extra_cut = jnp.any(okc[:, None] & (slack_extra < -tol_extra))
+    extra_cut = jnp.any(vert_ok[:, None] & (slack_extra < -tol_extra))
 
-    # edges: a compacted vertex lies on pair (i, j)'s line iff both planes
-    # are among its 3 defining planes (membership via geometric incidence
-    # was tried and rejected: planes passing exactly through two
-    # non-adjacent vertices of a face — common in lattices — collect them
-    # as a phantom chord edge and corrupt the face area; the defining-triple
-    # test implicitly requires a well-conditioned defining copy, which
-    # excludes those); endpoints are the extreme valid members along the
-    # line direction r_i x r_j
-    pi = jnp.asarray(prs[:, 0])  # (P,)
-    pj = jnp.asarray(prs[:, 1])
-    # membership via two small matmuls instead of six (V, P) compare-ORs:
-    # incid (V, k) one-hot of each vertex's defining planes, picked up per
-    # pair end by a static (k, P) selector — MXU work in place of the VPU
-    # compare chains (the edge stage dominated the cell pipeline)
-    kio = jnp.arange(k, dtype=planes_c.dtype)
-    incid = jnp.any(planes_c[:, :, None] == kio[None, None, :], axis=1)  # (V, k)
-    np_p = len(prs)
-    sel_i = np.zeros((k, np_p), np.float32)
-    sel_i[prs[:, 0], np.arange(np_p)] = 1.0
-    sel_j = np.zeros((k, np_p), np.float32)
-    sel_j[prs[:, 1], np.arange(np_p)] = 1.0
-    mi_f = jnp.matmul(incid.astype(dtype), jnp.asarray(sel_i, dtype),
-                      precision=jax.lax.Precision.HIGHEST)
-    mj_f = jnp.matmul(incid.astype(dtype), jnp.asarray(sel_j, dtype),
-                      precision=jax.lax.Precision.HIGHEST)
-    member = (mi_f > 0.5) & (mj_f > 0.5) & okc[:, None]  # (V, P)
+    # edges, directly in triple space: a vertex lies on pair (i, j)'s line
+    # iff both planes are among its 3 defining planes — and the triples
+    # containing a given pair are the STATIC pair_tri table, so each pair
+    # gathers its own k-2 candidate vertices instead of testing membership
+    # over a compacted slot array. (Membership via geometric incidence was
+    # tried and rejected: planes passing exactly through two non-adjacent
+    # vertices of a face — common in lattices — collect them as a phantom
+    # chord edge and corrupt the face area; the defining-triple test
+    # implicitly requires a well-conditioned defining copy, which excludes
+    # those.) This also removes the vertex-compaction stage entirely: no
+    # per-cell top_k over the C(K,3) triples, no (V, P) extremes sweep
+    # (k-2 candidates per pair instead), and no compaction-overflow veto —
+    # degenerate lattice vertices arriving as hundreds of triple copies
+    # are always representable. Endpoints are the extreme valid candidates
+    # along the line direction r_i x r_j.
+    pt = jnp.asarray(pair_tri)  # (P, k-2) static triple ids per pair
+    Xp = X[pt]  # (P, k-2, 3)
+    vp = vert_ok[pt]  # (P, k-2)
     tdir = jnp.cross(rel[prs[:, 0]], rel[prs[:, 1]])  # (P, 3)
-    u = jnp.matmul(Xc, tdir.T, precision=jax.lax.Precision.HIGHEST)  # (V, P)
+    u = jnp.einsum(
+        "pjc,pc->pj", Xp, tdir, precision=jax.lax.Precision.HIGHEST
+    )  # (P, k-2)
     big = jnp.asarray(3.0e37, dtype)
-    i_lo = jnp.argmin(jnp.where(member, u, big), axis=0)  # (P,)
-    i_hi = jnp.argmax(jnp.where(member, u, -big), axis=0)
-    v1 = Xc[i_lo]  # (P, 3)
-    v2 = Xc[i_hi]
-    edge_ok = jnp.sum(member, axis=0) >= 2  # (P,)
+    j_lo = jnp.argmin(jnp.where(vp, u, big), axis=1)  # (P,)
+    j_hi = jnp.argmax(jnp.where(vp, u, -big), axis=1)
+    v1 = jnp.take_along_axis(Xp, j_lo[:, None, None], axis=1)[:, 0]  # (P, 3)
+    v2 = jnp.take_along_axis(Xp, j_hi[:, None, None], axis=1)[:, 0]
+    edge_ok = jnp.sum(vp, axis=1) >= 2  # (P,)
 
     # per-face vector areas from locally oriented edge triangles
     V1 = v1[face_pairs]  # (K, K-1, 3)
@@ -310,7 +289,7 @@ def _cell_moments(rel_all, slot_ok, k: int, eps: float, compact_v: int = _COMPAC
     # face (a lost vertex breaks the sum by ~ the missing edge length)
     face_open = jnp.any(face_real & (face_gap > 8.0 * htol))
     ok_shape = (
-        closed & ~any_negative & (vol > 0) & ~extra_cut & ~overflow & ~face_open
+        closed & ~any_negative & (vol > 0) & ~extra_cut & ~face_open
     )
     return {
         "vol": vol,
@@ -407,9 +386,9 @@ def _suggest_win(n_real: int, p4: int, box_l: float, k_search: int) -> int:
     return win
 
 
-@partial(jax.jit, static_argnames=("k", "k_search", "row_block", "eps", "win", "topk_impl", "compact_v"))
+@partial(jax.jit, static_argnames=("k", "k_search", "row_block", "eps", "win", "topk_impl"))
 def _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=None,
-                   topk_impl="window", compact_v=_COMPACT_V):
+                   topk_impl="window"):
     if topk_impl == "pallas":
         from waterorderlib_tpu.ops.pallas.voronoi_topk import voronoi_topk_pallas
 
@@ -433,9 +412,7 @@ def _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=None,
 
     def one_block(args):
         rel, ok = args
-        return jax.vmap(
-            lambda r, o: _cell_moments(r, o, k, eps, compact_v)
-        )(rel, ok)
+        return jax.vmap(lambda r, o: _cell_moments(r, o, k, eps))(rel, ok)
 
     ns = centers.shape[0]
     pad = (-ns) % row_block
@@ -462,8 +439,7 @@ def _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=None,
     return out
 
 
-def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
-                    compact_v=_COMPACT_V):
+def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win):
     """Route the candidate search: the Pallas carried-top-K kernel on TPU
     for full-frame tiers (the XLA lax.top_k stage was the largest single
     cost of the device tessellation), the XLA windowed/full scans
@@ -486,7 +462,7 @@ def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
         try:
             out = _cells_blocked(
                 centers, ext, box, k, k_search, row_block, eps, win=win,
-                topk_impl="pallas", compact_v=compact_v,
+                topk_impl="pallas",
             )
             _jax.block_until_ready(out["vol"])
             return out
@@ -495,8 +471,7 @@ def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
                 "voronoi topk pallas kernel failed (%s: %s); falling back to "
                 "the XLA windowed scan", type(e).__name__, e,
             )
-    return _cells_blocked(centers, ext, box, k, k_search, row_block, eps,
-                          win=win, compact_v=compact_v)
+    return _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=win)
 
 
 def voronoi_cells_device(
@@ -509,7 +484,6 @@ def voronoi_cells_device(
     eps: float | None = None,
     centers_idx=None,
     win: int | None = None,
-    compact_v: int = _COMPACT_V,
 ):
     """Per-cell Voronoi moments for the first `num` points on device.
 
@@ -554,7 +528,7 @@ def voronoi_cells_device(
         win = int(ext.shape[0])  # force the full scan
     out = _dispatch_cells(
         centers, ext, box, k, k_search, min(row_block, max(1, nc)), float(eps),
-        win, compact_v=compact_v,
+        win,
     )
     d_far = out["nbr_dist"][:, -1]  # +inf when fewer than K candidates exist
     out["certified"] = (
@@ -597,20 +571,8 @@ def _host_cell(rel: np.ndarray):
 # escalation ladder: the third tier became worthwhile once the
 # endpoint-identity dedup + face-gap certificates landed (it now rescues
 # ~60% of the tier-2 residue at 12k — extra_cut cells that genuinely need
-# more than 48 build planes; before those fixes it rescued almost nothing).
-# Tiers may carry an optional third element: the vertex-compaction width
-# compact_v. Tier-1 runs narrow (128 slots — ample for liquid cells, and
-# the extremes-selection cost of the edge stage scales with it); cells
-# whose raw triple copies overflow (degenerate lattices) veto their
-# certificate and are rescued by the wider escalation tiers.
-DEFAULT_TIERS = ((32, 64, 128), (48, 96, 256), (64, 128, 256))
-
-
-def _tier_unpack(tier):
-    if len(tier) == 2:
-        return int(tier[0]), int(tier[1]), _COMPACT_V
-    k, ks, v = tier
-    return int(k), int(ks), int(v)
+# more than 48 build planes; before those fixes it rescued almost nothing)
+DEFAULT_TIERS = ((32, 64), (48, 96), (64, 128))
 
 
 def voronoi_volumes_hybrid(
@@ -630,22 +592,21 @@ def voronoi_volumes_hybrid(
     closes them, matching orderParam_lib.py:920-962 semantics).
     """
     points = np.asarray(points)
-    k0, ks0, v0 = _tier_unpack(tiers[0])
+    k0, ks0 = tiers[0][:2]
     out = voronoi_cells_device(
-        points, box_l, num, k=k0, k_search=ks0, row_block=row_block,
-        compact_v=v0,
+        points, box_l, num, k=k0, k_search=ks0, row_block=row_block
     )
     vol = np.asarray(out["vol"], np.float64).copy()
     area = np.asarray(out["area"], np.float64).copy()
     cert = np.asarray(out["certified"]).copy()
     tier_rows = [(np.arange(num), out)]
     for tier in tiers[1:]:
-        k2, ks2, v2 = _tier_unpack(tier)
+        k2, ks2 = tier[:2]
         bad_idx = np.where(~cert)[0]
         if not len(bad_idx):
             break
         out2 = voronoi_cells_device(
-            points, box_l, num, k=k2, k_search=ks2, compact_v=v2,
+            points, box_l, num, k=k2, k_search=ks2,
             row_block=min(row_block, max(1, len(bad_idx))), centers_idx=bad_idx,
             win=0,  # small subset: full scan beats a coverage-vetoed window
         )
@@ -763,10 +724,10 @@ def voronoi_contacts_hybrid(
     points = np.asarray(points)
     P = len(points)
     sel_rows = np.arange(num) if rows is None else np.asarray(rows, int)
-    k0, ks0, v0 = _tier_unpack(tiers[0])
+    k0, ks0 = tiers[0][:2]
     out = voronoi_cells_device(
         points, box_l, num, k=k0, k_search=ks0, row_block=row_block,
-        centers_idx=None if rows is None else sel_rows, compact_v=v0,
+        centers_idx=None if rows is None else sel_rows,
     )
     cert = np.asarray(out["certified"]).copy()  # in sel_rows space
     vol = np.zeros(num)
@@ -778,13 +739,13 @@ def voronoi_contacts_hybrid(
     tier_rows = [(sel_rows, out)]
 
     for tier in tiers[1:]:
-        k2, ks2, v2 = _tier_unpack(tier)
+        k2, ks2 = tier[:2]
         bad_pos = np.where(~cert)[0]
         if not len(bad_pos):
             break
         bad_idx = sel_rows[bad_pos]
         out2 = voronoi_cells_device(
-            points, box_l, num, k=k2, k_search=ks2, compact_v=v2,
+            points, box_l, num, k=k2, k_search=ks2,
             row_block=min(row_block, max(1, len(bad_idx))), centers_idx=bad_idx,
             win=0,  # small subset: full scan beats a coverage-vetoed window
         )
