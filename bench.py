@@ -263,6 +263,20 @@ def breakdown():
 
             g0, dg = 0.0, float(box_len / 81)
             wxw, pxw = suggest_window_x(N_WATERS, float(box_len))
+            if wxw:
+                # probe the x-window tier once; fall back to the full-window
+                # kernel on Mosaic/runtime failure so the entry reports the
+                # tier that actually works
+                try:
+                    dpr, _, cpr = willard_density_grid(
+                        posw[0], boxesw[0], g0, dg, 81, g0, dg, 81, g0, dg, 81,
+                        2.4, window_x=wxw, pad_x=pxw,
+                    )
+                    jax.block_until_ready(dpr)
+                    if not bool(cpr):
+                        wxw, pxw = 0, 0
+                except Exception:
+                    wxw, pxw = 0, 0
 
             @jax.jit
             def willard(p, b):

@@ -74,12 +74,22 @@ def density_grid(
         g0, dg = float(g[0]), float(spacing)
         box_x = float(np.asarray(box).reshape(-1)[0])
         wx, px = suggest_window_x(len(wat_pos), box_x, smoothlen=smoothlen)
-        dens, _, covered = willard_density_grid(
-            jnp.asarray(wat_pos, jnp.float32),
-            jnp.asarray(box, jnp.float32).reshape(-1),
-            g0, dg, n, g0, dg, n, g0, dg, n, smoothlen,
-            window_x=wx, pad_x=px,
-        )
+        covered = False
+        try:
+            dens, _, covered = willard_density_grid(
+                jnp.asarray(wat_pos, jnp.float32),
+                jnp.asarray(box, jnp.float32).reshape(-1),
+                g0, dg, n, g0, dg, n, g0, dg, n, smoothlen,
+                window_x=wx, pad_x=px,
+            )
+            covered = bool(covered)
+        except (ImportError, jax.errors.JaxRuntimeError) as e:
+            from waterorderlib_tpu.utils.logging import get_logger
+
+            get_logger(__name__).warning(
+                "willard grid kernel failed (%s: %s); falling back to the "
+                "points kernel", type(e).__name__, e,
+            )
         if not bool(covered):
             from waterorderlib_tpu.ops.pallas.willard_kernel import (
                 willard_density_points_pallas,
