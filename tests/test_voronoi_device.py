@@ -260,6 +260,48 @@ def test_pallas_topk_matches_windowed_scan():
     np.testing.assert_allclose(vp[both], vw[both], rtol=1e-5)
 
 
+def test_pallas_topk_fallback_logs_and_stays_correct(monkeypatch, caplog):
+    """A Mosaic/runtime failure in the Pallas candidate search must log a
+    warning and fall back to the XLA windowed scan with identical results
+    (same narrow-catch convention as the driver dispatches)."""
+    import logging
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    import waterorderlib_tpu.ops.pallas.voronoi_topk as vt
+    from waterorderlib_tpu.surface import voronoi_device as vd
+
+    pts_np, box_l = _water_points(n=1100, seed=3)  # nc >= 256, 4P >= 4096
+    pts = jnp.asarray(pts_np, jnp.float32)
+    # reference run pinned to the XLA window path (even on a real TPU, where
+    # the dispatcher would otherwise pick the Pallas kernel and equal-distance
+    # ties could legally permute)
+    monkeypatch.setattr(vt, "fits_voronoi_topk", lambda *a, **k: False)
+    ref = vd.voronoi_cells_device(pts, box_l, len(pts_np))
+    refv = np.asarray(ref["vol"])
+    refc = np.asarray(ref["certified"])
+    monkeypatch.undo()
+
+    monkeypatch.setattr(
+        jax, "devices",
+        lambda *a, **k: [types.SimpleNamespace(platform="tpu")],
+    )
+
+    def boom(*a, **k):
+        raise jax.errors.JaxRuntimeError("simulated mosaic failure")
+
+    monkeypatch.setattr(vt, "voronoi_topk_pallas", boom)
+    with caplog.at_level(logging.WARNING, logger="waterorderlib_tpu"):
+        out = vd.voronoi_cells_device(pts, box_l, len(pts_np))
+    assert any(
+        "voronoi topk pallas kernel failed" in r.message for r in caplog.records
+    )
+    np.testing.assert_array_equal(np.asarray(out["vol"]), refv)
+    np.testing.assert_array_equal(np.asarray(out["certified"]), refc)
+
+
 def test_windowed_topk_matches_full_scan():
     """At sizes where the z-window engages, windowed and full-scan candidate
     search must agree on every covered cell, and coverage must be high."""

@@ -86,7 +86,7 @@ def density_grid(
         except (ImportError, jax.errors.JaxRuntimeError) as e:
             from waterorderlib_tpu.utils.logging import get_logger
 
-            get_logger(__name__).warning(
+            get_logger().warning(
                 "willard grid kernel failed (%s: %s); falling back to the "
                 "points kernel", type(e).__name__, e,
             )

@@ -467,7 +467,7 @@ def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win):
             _jax.block_until_ready(out["vol"])
             return out
         except (ImportError, _jax.errors.JaxRuntimeError) as e:
-            get_logger(__name__).warning(
+            get_logger().warning(
                 "voronoi topk pallas kernel failed (%s: %s); falling back to "
                 "the XLA windowed scan", type(e).__name__, e,
             )
