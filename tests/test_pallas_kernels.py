@@ -349,6 +349,46 @@ def test_willard_grid_kernel_small_system():
         np.testing.assert_allclose(np.asarray(dens), np.asarray(d_ref), atol=1e-6)
 
 
+def test_willard_grid_kernel_x_window_noncubic_interpret():
+    """x-windowed plane kernel on a non-cubic box (Lx != Ly != Lz): the
+    x-sort/copy/wrap prep keys off box[0] specifically, which no TPU test
+    covers. Interpret mode, so this runs on any backend."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from waterorderlib_tpu.ops.pallas.willard_grid import (
+        suggest_window_x,
+        willard_density_grid,
+    )
+    from waterorderlib_tpu.density import fields
+
+    rs = np.random.RandomState(9)
+    n = 2048
+    box = np.array([34.0, 44.0, 49.0], np.float32)
+    pos = jnp.asarray(rs.uniform(0, 1, (n, 3)) * box[None, :], jnp.float32)
+    boxj = jnp.asarray(box)
+    ng = 9
+    wx, px = suggest_window_x(n, float(box[0]), window=1024, slack=1.6)
+    assert wx > 0
+    gs = [
+        np.linspace(0.0, float(box[d]), ng, endpoint=False).astype(np.float32)
+        for d in range(3)
+    ]
+    with pltpu.force_tpu_interpret_mode():
+        dens, _, cov = willard_density_grid(
+            pos, boxj,
+            float(gs[0][0]), float(gs[0][1] - gs[0][0]), ng,
+            float(gs[1][0]), float(gs[1][1] - gs[1][0]), ng,
+            float(gs[2][0]), float(gs[2][1] - gs[2][0]), ng,
+            2.4, window=1024, pad=512, window_x=wx, pad_x=px,
+        )
+    d_ref, _ = fields.willard_density_field(
+        pos, jnp.asarray(gs[0]), jnp.asarray(gs[1]), jnp.asarray(gs[2]),
+        boxj, 2.4, nx=ng, ny=ng, nz=ng,
+    )
+    assert bool(cov)
+    np.testing.assert_allclose(np.asarray(dens), np.asarray(d_ref), atol=2e-6)
+
+
 @needs_tpu
 def test_willard_grid_kernel_x_window():
     """x-windowed plane kernel (window_x > 0): per x-row sub-window scan
