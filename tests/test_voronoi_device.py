@@ -260,6 +260,33 @@ def test_pallas_topk_matches_windowed_scan():
     np.testing.assert_allclose(vp[both], vw[both], rtol=1e-5)
 
 
+def test_pallas_topk_interpret_matches_windowed_scan():
+    """Kernel-logic check that runs on any backend (Pallas interpret mode):
+    distances match the XLA windowed scan, full coverage, all slots valid."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from waterorderlib_tpu.ops.pallas.voronoi_topk import voronoi_topk_pallas
+    from waterorderlib_tpu.surface.voronoi_device import (
+        _windowed_topk,
+        mirror_points_device,
+    )
+
+    rs = np.random.RandomState(3)
+    n = 300
+    box_l = (n / 0.033456) ** (1.0 / 3.0)
+    pts = jnp.asarray(rs.uniform(0, box_l, (n, 3)), jnp.float32)
+    ext = mirror_points_device(pts, box_l)
+    centers = pts[:256]
+    with pltpu.force_tpu_interpret_mode():
+        d_p, i_p, v_p, c_p = voronoi_topk_pallas(
+            centers, ext, 64, row_block=128, win=int(ext.shape[0]), seg=384
+        )
+    d_w, _, _, _ = _windowed_topk(centers, ext, 64, 128, int(ext.shape[0]))
+    assert bool(jnp.all(v_p)) and bool(jnp.all(c_p))
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_w), atol=2e-6)
+
+
 def test_pallas_topk_fallback_logs_and_stays_correct(monkeypatch, caplog):
     """A Mosaic/runtime failure in the Pallas candidate search must log a
     warning and fall back to the XLA windowed scan with identical results
