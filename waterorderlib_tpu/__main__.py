@@ -31,7 +31,7 @@ def _add_common(p):
                         "(larger-than-memory support; 0 = load whole)")
     p.add_argument("--mesh", default="",
                    help="shard over a device mesh, e.g. 4x2 = 4 frame shards "
-                        "x 2 atom shards (tet/3body/lsi/psi/rdf/hb)")
+                        "x 2 atom shards (tet/3body/lsi/psi/rdf/hb/chempot/msd)")
 
 
 def main(argv=None):
@@ -136,7 +136,6 @@ def main(argv=None):
     elif args.cmd == "chempot":
         from waterorderlib_tpu.drivers.chempot import chem_pot_calc
 
-        chunk.pop("mesh", None)
         mu, avg_n, avg_n2 = chem_pot_calc(
             args.top, args.traj, probe_radius=args.probe_radius,
             n_insertions=args.insertions, **common, **chunk,
@@ -173,7 +172,8 @@ def main(argv=None):
     elif args.cmd == "msd":
         from waterorderlib_tpu.drivers.msd import msd_calc
 
-        msd, diff = msd_calc(args.top, args.traj, dt=args.dt, **common)
+        mesh_kw = {"mesh": chunk["mesh"]} if "mesh" in chunk else {}
+        msd, diff = msd_calc(args.top, args.traj, dt=args.dt, **common, **mesh_kw)
         print(json.dumps({"D": diff, "msd_final": float(msd[-1])}))
     return 0
 
