@@ -454,6 +454,7 @@ def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win):
     p4 = int(ext.shape[0])
     use_pallas = (
         _jax.devices()[0].platform == "tpu"
+        and centers.dtype == jnp.float32  # f64 runs keep f64-exact selection
         and nc >= 256
         and p4 >= 4096
         and fits_voronoi_topk(128, 768, k_search, -(-p4 // 128) * 128, num=nc)
