@@ -386,15 +386,16 @@ def _suggest_win(n_real: int, p4: int, box_l: float, k_search: int) -> int:
     return win
 
 
-@partial(jax.jit, static_argnames=("k", "k_search", "row_block", "eps", "win", "topk_impl"))
+@partial(jax.jit, static_argnames=("k", "k_search", "row_block", "eps", "win", "topk_impl", "topk_seg"))
 def _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=None,
-                   topk_impl="window"):
+                   topk_impl="window", topk_seg=768):
     if topk_impl == "pallas":
         from waterorderlib_tpu.ops.pallas.voronoi_topk import voronoi_topk_pallas
 
         dist, idx, valid, win_cov = voronoi_topk_pallas(
             centers, ext, k_search, row_block=128,
             win=win if (win is not None and win > 0) else ext.shape[0],
+            seg=topk_seg,
         )
         nl = ops_pairs.NeighborList(dist, idx, valid, jnp.sum(valid, axis=-1))
     elif win is not None and win < ext.shape[0]:
@@ -452,18 +453,26 @@ def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win):
 
     nc = int(centers.shape[0])
     p4 = int(ext.shape[0])
+    p4_pad = -(-p4 // 128) * 128
+    # widest segment whose ~(2+0.32K)x extraction stack fits scoped VMEM:
+    # 768 lanes for the k_search=64 tier-1, 512 for the k_search=96
+    # escalation tier; k_search=128 fits no segment and stays on XLA
+    seg = next(
+        (s for s in (768, 512) if fits_voronoi_topk(128, s, k_search, p4_pad, num=nc)),
+        0,
+    )
     use_pallas = (
         _jax.devices()[0].platform == "tpu"
         and centers.dtype == jnp.float32  # f64 runs keep f64-exact selection
         and nc >= 256
         and p4 >= 4096
-        and fits_voronoi_topk(128, 768, k_search, -(-p4 // 128) * 128, num=nc)
+        and seg > 0
     )
     if use_pallas:
         try:
             out = _cells_blocked(
                 centers, ext, box, k, k_search, row_block, eps, win=win,
-                topk_impl="pallas",
+                topk_impl="pallas", topk_seg=seg,
             )
             _jax.block_until_ready(out["vol"])
             return out
