@@ -381,3 +381,57 @@ def test_contacts_rows_restriction_matches_full():
     # unrequested rows are zero in the cell quantities
     others = np.setdiff1d(np.arange(300), sel)
     assert np.all(avr[0, others] == 0.0)
+
+
+def test_clip_builder_matches_triple_builder():
+    """The O(P*K) line-clipping cell builder and the O(C(K,3)*K) triple
+    builder must agree: same cells certified (clip may only add), and
+    certified-by-both cells bit-close in volume/area/face structure."""
+    from waterorderlib_tpu.surface.voronoi_device import voronoi_cells_device
+
+    pts, box_l = _water_points(n=400)
+    pts32 = pts.astype(np.float32)
+    out_t = voronoi_cells_device(pts32, box_l, len(pts), cell_impl="triple")
+    out_c = voronoi_cells_device(pts32, box_l, len(pts), cell_impl="clip")
+    ct = np.asarray(out_t["certified"])
+    cc = np.asarray(out_c["certified"])
+    both = ct & cc
+    # tier-1 alone certifies ~75% on this jittered fixture (the escalation
+    # ladder is what reaches ~99%); both builders must land in that range
+    assert both.sum() >= 0.7 * len(pts)
+    # a certified cell is provably exact either way: near-equal moments
+    np.testing.assert_allclose(
+        np.asarray(out_c["vol"])[both], np.asarray(out_t["vol"])[both], rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_c["area"])[both], np.asarray(out_t["area"])[both], rtol=2e-4
+    )
+    nv_t = np.asarray(out_t["face_nverts"])[both]
+    nv_c = np.asarray(out_c["face_nverts"])[both]
+    # same face combinatorics on >= 99% of certified cells (fp ties can
+    # shift a sliver vertex between builders)
+    same = (nv_t == nv_c).all(axis=1)
+    assert same.mean() >= 0.99
+    # certification rates must not regress with the cheaper builder
+    assert cc.sum() >= 0.95 * ct.sum()
+
+
+def test_clip_builder_bcc_golden():
+    """The clip builder reproduces the truncated-octahedron golden
+    (exact face/vertex combinatorics) explicitly."""
+    from waterorderlib_tpu.surface.voronoi_device import voronoi_cells_device
+
+    a = 3.1
+    pts, box_l = _bcc_points(a=a)
+    out = voronoi_cells_device(
+        pts.astype(np.float32), box_l, len(pts), cell_impl="clip"
+    )
+    cert = np.asarray(out["certified"])
+    vol = np.asarray(out["vol"])
+    depth = np.minimum(pts, box_l - pts).min(axis=1)
+    interior = depth > a
+    assert cert[interior].all()
+    assert np.allclose(vol[interior], a**3 / 2.0, rtol=5e-3)
+    nv = np.asarray(out["face_nverts"])
+    nfaces = (nv > 0).sum(axis=1)
+    assert np.all(nfaces[interior] == 14)

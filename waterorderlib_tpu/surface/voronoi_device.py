@@ -16,12 +16,14 @@ Design (no Qhull, no raggedness — everything is fixed-shape jnp):
    (`ops.pairs.topk_neighbors` with PBC disabled — the mirrored set lives in
    open space). The cell of a point is the intersection of the half-spaces
    x·r_k <= |r_k|^2/2 over relative candidate positions r_k.
-3. Every Voronoi vertex is the intersection of 3 bisector planes: enumerate
-   all C(K,3) plane triples, solve each 3x3 system in closed form (Cramer
-   via cross products), and keep vertices inside all K half-spaces.
-4. Every cell edge lies on the intersection line of 2 planes: for each of
-   the C(K,2) pairs, the edge endpoints are the extreme valid vertices
-   along the line direction r_i x r_j.
+3. Cell edges come from 1-D line clipping (the default `clip` builder):
+   each of the C(K,2) plane pairs' intersection lines is clipped against
+   all K half-spaces; the feasible parameter interval IS the edge and its
+   endpoints ARE the cell's vertices (every vertex lies on >= 3 pair
+   lines). O(C(K,2)*K) work — the previous `triple` builder (kept under
+   `cell_impl="triple"`) enumerates all C(K,3) plane-triple vertices
+   (closed-form Cramer) and selects each pair's extreme valid vertices:
+   O(C(K,3)*K), ~K/3-fold more arithmetic and far larger intermediates.
 5. Face polygons are never ordered: each face's vector area is accumulated
    from locally-oriented edge triangles (apex at the face's plane point
    r_f/2). The orientation of an edge shared with face j is fixed by
@@ -34,9 +36,9 @@ Design (no Qhull, no raggedness — everything is fixed-shape jnp):
    vector areas must vanish). Uncertified atoms fall back to a per-atom
    host half-space intersection, then to the full host tessellation.
 
-Complexity per atom is O(C(K,3)*K) dense fused arithmetic — at K=32 about
-1.4 MFLOP, so a 12k-atom frame is ~17 GFLOP of vectorizable work instead of
-a serial Qhull run.
+Complexity per atom is O(C(K,2)*K) dense fused arithmetic — at K=32 about
+0.3 MFLOP, so a 12k-atom frame is ~4 GFLOP of vectorizable work instead of
+a serial Qhull run (the `triple` builder: ~1.4 MFLOP/atom).
 """
 
 from __future__ import annotations
@@ -209,6 +211,21 @@ def _cell_moments(rel_all, slot_ok, k: int, eps: float):
     v2 = jnp.take_along_axis(Xp, j_hi[:, None, None], axis=1)[:, 0]
     edge_ok = jnp.sum(vp, axis=1) >= 2  # (P,)
 
+    return _faces_from_edges(
+        rel, r_len, v1, v2, edge_ok, r_cell, extra_cut, tol, s_scale, eps,
+        face_pairs, face_other, dtype,
+    )
+
+
+def _faces_from_edges(
+    rel, r_len, v1, v2, edge_ok, r_cell, extra_cut, tol, s_scale, eps,
+    face_pairs, face_other, dtype,
+):
+    """Face areas, closure certificates, and cell moments from one cell's
+    per-pair edge segments (shared tail of the triple-space and clip-space
+    cell builders). v1/v2: (P, 3) edge endpoints per plane pair; edge_ok:
+    (P,) which pairs carry a real segment."""
+    nrm = lambda v: jnp.sqrt(jnp.sum(v * v, axis=-1))
     # per-face vector areas from locally oriented edge triangles
     V1 = v1[face_pairs]  # (K, K-1, 3)
     V2 = v2[face_pairs]
@@ -304,6 +321,109 @@ def _cell_moments(rel_all, slot_ok, k: int, eps: float):
     }
 
 
+def _cell_moments_clip(rel_all, slot_ok, k: int, eps: float):
+    """Moments of one Voronoi cell by 1-D line clipping — O(P*K) instead of
+    the triple builder's O(C(K,3)*K).
+
+    Same contract as `_cell_moments`. Instead of enumerating all C(K,3)
+    plane-triple vertices and selecting each pair's extremes among them,
+    each of the C(K,2) plane pairs' intersection LINES is clipped against
+    all K build half-spaces in one dimension: plane j restricts the line
+    parameter u to one side of b_j/a_j (a_j = t_hat . r_j,
+    b_j = s_j - q . r_j, with q a point on the line and t_hat its unit
+    direction). The feasible interval [u_lo, u_hi] IS the cell edge; its
+    endpoints ARE the cell's vertices (every vertex lies on >= 3 pair
+    lines, so the vertex set is exactly the endpoint set). Tangent planes
+    through a face edge duplicate that edge across pairs — removed by the
+    same endpoint-identity dedup as the triple builder (a supporting plane
+    through two vertices of a convex face must contain a face EDGE, so
+    phantom interior chords cannot arise). Planes k..K_search are
+    check-only, exactly as in `_cell_moments`: a beyond-build plane cuts
+    the built cell iff it cuts some vertex, and all vertices are feasible
+    endpoints, so `extra_cut` tests every feasible endpoint against them.
+    """
+    _tri, prs, _pt, face_pairs, face_other = _tables(k)
+    dtype = rel_all.dtype
+    ks = rel_all.shape[0]
+    park = jnp.asarray(_park_directions(ks), dtype) * jnp.asarray(_FAR, dtype)
+    rel_all = jnp.where(slot_ok[:, None], rel_all, park)
+    rel = rel_all[:k]
+    s_all = 0.5 * jnp.sum(rel_all * rel_all, axis=-1)
+    s = s_all[:k]
+    # same representative-scale logic as _cell_moments (see comment there)
+    s_med = jnp.nanmedian(jnp.where(slot_ok, s_all, jnp.nan))
+    s_scale = jnp.where(jnp.isfinite(s_med), s_med, jnp.asarray(1.0, dtype))
+    tol = jnp.asarray(eps, dtype) * s_scale
+    nrm = lambda v: jnp.sqrt(jnp.sum(v * v, axis=-1))
+    r_len_all = nrm(rel_all)
+    r_len = r_len_all[:k]
+
+    ri, rj = rel[prs[:, 0]], rel[prs[:, 1]]  # (P, 3)
+    si, sj = s[prs[:, 0]], s[prs[:, 1]]
+    t = jnp.cross(ri, rj)
+    tsq = jnp.sum(t * t, axis=-1)
+    pair_ok = jnp.sqrt(tsq) > jnp.asarray(eps, dtype) * nrm(ri) * nrm(rj)
+    tsq_safe = jnp.where(pair_ok, tsq, 1.0)
+    # q: the point of the line in span(r_i, r_j) — q.r_i = s_i, q.r_j = s_j
+    q = (
+        si[:, None] * jnp.cross(rj, t) + sj[:, None] * jnp.cross(t, ri)
+    ) / tsq_safe[:, None]
+    that = t / jnp.sqrt(tsq_safe)[:, None]  # unit direction: u in length units
+
+    # line-vs-plane coefficients for ALL K_search planes at once; build
+    # planes clip, extra planes only check. HIGHEST: see _cell_moments.
+    A = jnp.matmul(that, rel_all.T, precision=jax.lax.Precision.HIGHEST)
+    B = s_all[None, :] - jnp.matmul(
+        q, rel_all.T, precision=jax.lax.Precision.HIGHEST
+    )  # (P, K_search)
+    qn = nrm(q)
+    athr = jnp.asarray(eps, dtype) * r_len_all[None, :]  # |t_hat| = 1
+    tol_b = jnp.asarray(eps, dtype) * (
+        s_all[None, :] + qn[:, None] * r_len_all[None, :]
+    )
+
+    big = jnp.asarray(3.0e37, dtype)
+    Ab, Bb = A[:, :k], B[:, :k]
+    denom_ok = jnp.abs(Ab) > athr[:, :k]
+    ratio = Bb / jnp.where(denom_ok, Ab, 1.0)
+    ub = jnp.where(denom_ok & (Ab > 0), ratio, big)
+    lb = jnp.where(denom_ok & (Ab < 0), ratio, -big)
+    # a plane (near-)parallel to the line either misses it (no constraint)
+    # or excludes it entirely
+    par_bad = ~denom_ok & (Bb < -tol_b[:, :k])
+    u_hi = jnp.min(ub, axis=1)
+    u_lo = jnp.max(lb, axis=1)
+    feas = (
+        pair_ok
+        & ~jnp.any(par_bad, axis=1)
+        & (u_hi < 0.5 * big)
+        & (u_lo > -0.5 * big)
+        & (u_hi >= u_lo)
+    )
+    v1 = q + u_lo[:, None] * that  # (P, 3)
+    v2 = q + u_hi[:, None] * that
+    vmax = jnp.maximum(nrm(v1), nrm(v2))
+    r_cell = jnp.max(jnp.where(feas, vmax, 0.0))
+
+    # beyond-build planes vs every feasible endpoint (== every vertex)
+    s1 = B[:, k:] - u_lo[:, None] * A[:, k:]
+    s2 = B[:, k:] - u_hi[:, None] * A[:, k:]
+    tol_e = jnp.asarray(eps, dtype) * (
+        s_all[None, k:] + vmax[:, None] * r_len_all[None, k:]
+    )
+    extra_cut = jnp.any(feas[:, None] & ((s1 < -tol_e) | (s2 < -tol_e)))
+
+    return _faces_from_edges(
+        rel, r_len, v1, v2, feas, r_cell, extra_cut, tol, s_scale, eps,
+        face_pairs, face_other, dtype,
+    )
+
+
+_CELL_BUILDERS = {"triple": _cell_moments, "clip": _cell_moments_clip}
+# clip is the default: same certificates, ~C(K,3)/C(K,2)-fold less work
+DEFAULT_CELL_IMPL = "clip"
+
+
 @partial(jax.jit, static_argnames=("k_search", "row_block", "win"))
 def _windowed_topk(centers, ext, k_search, row_block, win):
     """K-nearest mirrored candidates via a z-sorted sliding window.
@@ -386,9 +506,9 @@ def _suggest_win(n_real: int, p4: int, box_l: float, k_search: int) -> int:
     return win
 
 
-@partial(jax.jit, static_argnames=("k", "k_search", "row_block", "eps", "win", "topk_impl", "topk_seg"))
+@partial(jax.jit, static_argnames=("k", "k_search", "row_block", "eps", "win", "topk_impl", "topk_seg", "cell_impl"))
 def _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=None,
-                   topk_impl="window", topk_seg=768):
+                   topk_impl="window", topk_seg=768, cell_impl=DEFAULT_CELL_IMPL):
     if topk_impl == "pallas":
         from waterorderlib_tpu.ops.pallas.voronoi_topk import voronoi_topk_pallas
 
@@ -411,9 +531,11 @@ def _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=None,
         win_cov = jnp.ones(centers.shape[0], bool)
     rel_all = ext[nl.idx] - centers[:, None, :]  # (num, K_search, 3)
 
+    cell_fn = _CELL_BUILDERS[cell_impl]
+
     def one_block(args):
         rel, ok = args
-        return jax.vmap(lambda r, o: _cell_moments(r, o, k, eps))(rel, ok)
+        return jax.vmap(lambda r, o: cell_fn(r, o, k, eps))(rel, ok)
 
     ns = centers.shape[0]
     pad = (-ns) % row_block
@@ -440,7 +562,8 @@ def _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=None,
     return out
 
 
-def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win):
+def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
+                    cell_impl=DEFAULT_CELL_IMPL):
     """Route the candidate search: the Pallas carried-top-K kernel on TPU
     for full-frame tiers (the XLA lax.top_k stage was the largest single
     cost of the device tessellation), the XLA windowed/full scans
@@ -472,7 +595,7 @@ def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win):
         try:
             out = _cells_blocked(
                 centers, ext, box, k, k_search, row_block, eps, win=win,
-                topk_impl="pallas", topk_seg=seg,
+                topk_impl="pallas", topk_seg=seg, cell_impl=cell_impl,
             )
             _jax.block_until_ready(out["vol"])
             return out
@@ -481,7 +604,10 @@ def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win):
                 "voronoi topk pallas kernel failed (%s: %s); falling back to "
                 "the XLA windowed scan", type(e).__name__, e,
             )
-    return _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=win)
+    return _cells_blocked(
+        centers, ext, box, k, k_search, row_block, eps, win=win,
+        cell_impl=cell_impl,
+    )
 
 
 def voronoi_cells_device(
@@ -494,6 +620,7 @@ def voronoi_cells_device(
     eps: float | None = None,
     centers_idx=None,
     win: int | None = None,
+    cell_impl: str = DEFAULT_CELL_IMPL,
 ):
     """Per-cell Voronoi moments for the first `num` points on device.
 
@@ -538,7 +665,7 @@ def voronoi_cells_device(
         win = int(ext.shape[0])  # force the full scan
     out = _dispatch_cells(
         centers, ext, box, k, k_search, min(row_block, max(1, nc)), float(eps),
-        win,
+        win, cell_impl=cell_impl,
     )
     d_far = out["nbr_dist"][:, -1]  # +inf when fewer than K candidates exist
     out["certified"] = (
@@ -592,6 +719,7 @@ def voronoi_volumes_hybrid(
     tiers=DEFAULT_TIERS,
     row_block: int = 256,
     fallback_k: int = 96,
+    cell_impl: str = DEFAULT_CELL_IMPL,
 ):
     """Drop-in for `surface.voronoi.voronoi_volumes`: device cells where
     certified (escalating through (k, k_search) tiers), per-atom host
@@ -604,7 +732,8 @@ def voronoi_volumes_hybrid(
     points = np.asarray(points)
     k0, ks0 = tiers[0][:2]
     out = voronoi_cells_device(
-        points, box_l, num, k=k0, k_search=ks0, row_block=row_block
+        points, box_l, num, k=k0, k_search=ks0, row_block=row_block,
+        cell_impl=cell_impl,
     )
     vol = np.asarray(out["vol"], np.float64).copy()
     area = np.asarray(out["area"], np.float64).copy()
@@ -619,6 +748,7 @@ def voronoi_volumes_hybrid(
             points, box_l, num, k=k2, k_search=ks2,
             row_block=min(row_block, max(1, len(bad_idx))), centers_idx=bad_idx,
             win=0,  # small subset: full scan beats a coverage-vetoed window
+            cell_impl=cell_impl,
         )
         tier_rows.append((bad_idx, out2))
         c2 = np.asarray(out2["certified"])
@@ -719,6 +849,7 @@ def voronoi_contacts_hybrid(
     row_block: int = 256,
     fallback_k: int = 96,
     rows=None,
+    cell_impl: str = DEFAULT_CELL_IMPL,
 ):
     """Drop-in for `surface.voronoi.voronoi_contacts`: (contacts (num, num),
     atom_area (1, num), wat_area (1, num), atom_vol (1, num), n_certified).
@@ -737,7 +868,7 @@ def voronoi_contacts_hybrid(
     k0, ks0 = tiers[0][:2]
     out = voronoi_cells_device(
         points, box_l, num, k=k0, k_search=ks0, row_block=row_block,
-        centers_idx=None if rows is None else sel_rows,
+        centers_idx=None if rows is None else sel_rows, cell_impl=cell_impl,
     )
     cert = np.asarray(out["certified"]).copy()  # in sel_rows space
     vol = np.zeros(num)
@@ -758,6 +889,7 @@ def voronoi_contacts_hybrid(
             points, box_l, num, k=k2, k_search=ks2,
             row_block=min(row_block, max(1, len(bad_idx))), centers_idx=bad_idx,
             win=0,  # small subset: full scan beats a coverage-vetoed window
+            cell_impl=cell_impl,
         )
         tier_rows.append((bad_idx, out2))
         c2 = np.asarray(out2["certified"])
