@@ -323,7 +323,7 @@ def test_pallas_topk_fallback_logs_and_stays_correct(monkeypatch, caplog):
     with caplog.at_level(logging.WARNING, logger="waterorderlib_tpu"):
         out = vd.voronoi_cells_device(pts, box_l, len(pts_np))
     assert any(
-        "voronoi topk pallas kernel failed" in r.message for r in caplog.records
+        "voronoi pallas kernels failed" in r.message for r in caplog.records
     )
     np.testing.assert_array_equal(np.asarray(out["vol"]), refv)
     np.testing.assert_array_equal(np.asarray(out["certified"]), refc)
@@ -435,3 +435,79 @@ def test_clip_builder_bcc_golden():
     nv = np.asarray(out["face_nverts"])
     nfaces = (nv > 0).sum(axis=1)
     assert np.all(nfaces[interior] == 14)
+
+
+def _kernel_inputs(pts, box_l, k=32, ks=64):
+    import jax.numpy as jnp
+
+    from waterorderlib_tpu.ops import pairs as ops_pairs
+    from waterorderlib_tpu.surface import voronoi_device as vd
+
+    pts = jnp.asarray(pts, jnp.float32)
+    ext = vd.mirror_points_device(pts, box_l)
+    box = jnp.asarray([vd._NO_PBC_BOX] * 3, jnp.float32)
+    nl = ops_pairs.topk_neighbors(
+        pts, ext, box, k=ks, low_cut=0.0, high_cut=jnp.inf, row_block=64
+    )
+    rel_all = ext[nl.idx] - pts[:, None, :]
+    park = jnp.asarray(vd._park_directions(ks), jnp.float32) * jnp.float32(
+        vd._FAR
+    )
+    rel_parked = jnp.where(nl.valid[..., None], rel_all, park)
+    is_b = jnp.any(nl.idx[:, :k] >= pts.shape[0], axis=1)
+    return rel_all, rel_parked, nl, is_b
+
+
+def test_pallas_cells_interpret_matches_clip_builder():
+    """The fused cell-moments kernel (interpret mode, any backend) is
+    contract-identical to the XLA clip builder: same ok_shape flags, same
+    face combinatorics, fp-level moments."""
+    import jax
+
+    from waterorderlib_tpu.ops.pallas.voronoi_cells import voronoi_cells_pallas
+    from waterorderlib_tpu.surface import voronoi_device as vd
+
+    pts, box_l = _water_points(n=160)
+    rel_all, rel_parked, nl, is_b = _kernel_inputs(pts, box_l)
+    ref = jax.vmap(lambda r, o: vd._cell_moments_clip(r, o, 32, 1e-4))(
+        rel_all, nl.valid
+    )
+    out = voronoi_cells_pallas(
+        rel_parked, nl.valid, is_b, 32, 1e-4, interpret=True
+    )
+    ro = np.asarray(ref["ok_shape"])
+    po = np.asarray(out["ok_shape"])
+    assert (ro ^ po).sum() == 0
+    assert (np.asarray(ref["extra_cut"]) ^ np.asarray(out["extra_cut"])).sum() == 0
+    both = ro & po
+    assert both.sum() >= 100
+    for key in ("vol", "area", "r_cell"):
+        np.testing.assert_allclose(
+            np.asarray(out[key])[both], np.asarray(ref[key])[both], rtol=1e-5
+        )
+    assert (
+        np.asarray(ref["face_nverts"])[both]
+        == np.asarray(out["face_nverts"])[both]
+    ).all()
+
+
+def test_pallas_cells_degenerate_interior_not_miscertified():
+    """Regression: interior atoms of a perfect cubic lattice skip the
+    host mirror-flag, but uniform edge duplication keeps every closure
+    certificate at zero while scaling the volume — the in-kernel tangency
+    detector must force dedup (a flag-only skip certified 8 wrong cells)."""
+    from waterorderlib_tpu.ops.pallas.voronoi_cells import voronoi_cells_pallas
+
+    a, ng = 3.0, 6
+    g = np.arange(ng) * a + a / 2.0
+    pts = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    _, rel_parked, nl, is_b = _kernel_inputs(pts, ng * a)
+    assert int((~np.asarray(is_b)).sum()) >= 8  # the skip path is exercised
+    out = voronoi_cells_pallas(rel_parked, nl.valid, is_b, 32, 1e-4, interpret=True)
+    cert = np.asarray(out["ok_shape"]) & np.asarray(
+        nl.dist[:, -1] >= 2.0 * out["r_cell"]
+    )
+    vol = np.asarray(out["vol"])
+    assert (cert & (np.abs(vol - a**3) > 1e-2 * a**3)).sum() == 0
+    # with the detector the degenerate cells dedup and certify correctly
+    assert cert.sum() == len(pts)

@@ -509,6 +509,9 @@ def _suggest_win(n_real: int, p4: int, box_l: float, k_search: int) -> int:
 @partial(jax.jit, static_argnames=("k", "k_search", "row_block", "eps", "win", "topk_impl", "topk_seg", "cell_impl"))
 def _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=None,
                    topk_impl="window", topk_seg=768, cell_impl=DEFAULT_CELL_IMPL):
+    """cell_impl: "clip" (default) / "triple" XLA builders, or "pallas" —
+    the fused TPU kernel (ops/pallas/voronoi_cells.py), contract-identical
+    to "clip"."""
     if topk_impl == "pallas":
         from waterorderlib_tpu.ops.pallas.voronoi_topk import voronoi_topk_pallas
 
@@ -530,6 +533,24 @@ def _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=None,
         )
         win_cov = jnp.ones(centers.shape[0], bool)
     rel_all = ext[nl.idx] - centers[:, None, :]  # (num, K_search, 3)
+
+    if cell_impl == "pallas":
+        from waterorderlib_tpu.ops.pallas.voronoi_cells import (
+            voronoi_cells_pallas,
+        )
+
+        park = jnp.asarray(
+            _park_directions(k_search), rel_all.dtype
+        ) * jnp.asarray(_FAR, rel_all.dtype)
+        rel_parked = jnp.where(nl.valid[..., None], rel_all, park)
+        # mirror candidates among the build planes force endpoint dedup
+        is_boundary = jnp.any(nl.idx[:, :k] >= ext.shape[0] // 4, axis=1)
+        out = voronoi_cells_pallas(rel_parked, nl.valid, is_boundary, k, eps)
+        out["nbr_dist"] = nl.dist
+        out["nbr_idx"] = nl.idx
+        out["nbr_valid"] = nl.valid
+        out["win_covered"] = win_cov
+        return out
 
     cell_fn = _CELL_BUILDERS[cell_impl]
 
@@ -584,25 +605,34 @@ def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
         (s for s in (768, 512) if fits_voronoi_topk(128, s, k_search, p4_pad, num=nc)),
         0,
     )
-    use_pallas = (
+    on_tpu_f32 = (
         _jax.devices()[0].platform == "tpu"
         and centers.dtype == jnp.float32  # f64 runs keep f64-exact selection
         and nc >= 256
-        and p4 >= 4096
-        and seg > 0
     )
-    if use_pallas:
+    use_topk = on_tpu_f32 and p4 >= 4096 and seg > 0
+    # fused cell-moments kernel: tier-1 geometry only, and only when the
+    # caller asked for the default clip semantics (it is contract-identical
+    # to "clip")
+    from waterorderlib_tpu.ops.pallas.voronoi_cells import fits_voronoi_cells
+
+    use_cells = (
+        on_tpu_f32 and cell_impl == "clip" and fits_voronoi_cells(k, k_search)
+    )
+    if use_topk or use_cells:
         try:
             out = _cells_blocked(
                 centers, ext, box, k, k_search, row_block, eps, win=win,
-                topk_impl="pallas", topk_seg=seg, cell_impl=cell_impl,
+                topk_impl="pallas" if use_topk else "window", topk_seg=seg,
+                cell_impl="pallas" if use_cells else cell_impl,
             )
             _jax.block_until_ready(out["vol"])
             return out
         except (ImportError, _jax.errors.JaxRuntimeError) as e:
             get_logger().warning(
-                "voronoi topk pallas kernel failed (%s: %s); falling back to "
-                "the XLA windowed scan", type(e).__name__, e,
+                "voronoi pallas kernels failed (topk=%s cells=%s; %s: %s); "
+                "falling back to the XLA clip path",
+                use_topk, use_cells, type(e).__name__, e,
             )
     return _cells_blocked(
         centers, ext, box, k, k_search, row_block, eps, win=win,
