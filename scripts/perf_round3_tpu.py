@@ -1,0 +1,169 @@
+"""Round-3 second-half TPU timing sweep: the changes that landed during
+the relay outage, measured on the real chip in one run.
+
+Usage (default axon env, NOT the CPU bypass):
+    timeout 3600 python scripts/perf_round3_tpu.py [section ...]
+Sections: voronoi willard (default: both). Prints one line per
+measurement and dumps JSON to /tmp/perf_round3.json incrementally.
+
+Timing rules (.claude/skills/verify): fetch data to host as the barrier,
+perturb inputs every iteration (the relay memoizes identical dispatches).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+RESULTS = {}
+
+
+def _dump():
+    with open("/tmp/perf_round3.json", "w") as fh:
+        json.dump(RESULTS, fh, indent=1)
+
+
+def _time(fn, n_iter=3, warmup=1):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(0)
+        jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for it in range(n_iter):
+        out = fn(it + 1)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])  # host fetch barrier
+    return (time.perf_counter() - t0) / n_iter
+
+
+def _water(n, seed=0, jitter=0.6):
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    box_l = (n / 0.033456) ** (1.0 / 3.0)
+    base = np.asarray(water_oxygen_lattice(n, box_l, seed=1), float)
+    rs = np.random.RandomState(seed)
+    return ((base + rs.normal(scale=jitter, size=base.shape)) % box_l).astype(
+        np.float32
+    ), box_l
+
+
+def sec_voronoi():
+    """Device Voronoi at 12k — the ladder of this round's changes:
+    round-2 config (triple builder + XLA window top-k), clip builder,
+    pallas top-k, fused cell kernel; then the hybrid end to end."""
+    import jax.numpy as jnp
+
+    from waterorderlib_tpu.surface import voronoi_device as vd
+
+    pts, box_l = _water(12288)
+    n = len(pts)
+    win = None
+
+    def run(cell_impl, topk_impl, it):
+        p = jnp.asarray(pts + np.float32(1e-6 * it))
+        ext = vd.mirror_points_device(p, box_l)
+        box = jnp.asarray([vd._NO_PBC_BOX] * 3, jnp.float32)
+        w = vd._suggest_win(n, int(ext.shape[0]), float(box_l), 64)
+        out = vd._cells_blocked(
+            p, ext, box, 32, 64, 256, 1e-4, win=w,
+            topk_impl=topk_impl, topk_seg=768, cell_impl=cell_impl,
+        )
+        return out["vol"]
+
+    for label, cell, topk in (
+        ("triple+window_r2cfg", "triple", "window"),
+        ("clip+window", "clip", "window"),
+        ("clip+pallas_topk", "clip", "pallas"),
+        ("fusedcells+pallas_topk", "pallas", "pallas"),
+    ):
+        try:
+            dt = _time(lambda it, c=cell, t=topk: run(c, t, it))
+            RESULTS[f"voronoi12k_{label}_ms"] = dt * 1e3
+            print(f"voronoi 12k {label}: {dt*1e3:.1f} ms/frame", flush=True)
+        except Exception as e:  # noqa: BLE001 — survey run: record, continue
+            RESULTS[f"voronoi12k_{label}_ms"] = f"failed: {type(e).__name__}: {e}"
+            print(
+                f"voronoi 12k {label} FAILED: {type(e).__name__}: {e}",
+                flush=True,
+            )
+        _dump()
+
+    # hybrid end to end (full dispatcher + tier ladder + host fallback)
+    for it, key in ((0, "voronoi12k_hybrid_e2e_cold_s"), (1, "voronoi12k_hybrid_e2e_s")):
+        t0 = time.perf_counter()
+        vol, area, nc = vd.voronoi_volumes_hybrid(
+            pts + np.float32(1e-5 * it), box_l, n
+        )
+        RESULTS[key] = time.perf_counter() - t0
+    RESULTS["voronoi12k_certified"] = int(nc)
+    print(
+        f"voronoi 12k hybrid e2e: {RESULTS['voronoi12k_hybrid_e2e_s']*1e3:.0f}"
+        f" ms/frame warm ({RESULTS['voronoi12k_hybrid_e2e_cold_s']:.1f} s cold),"
+        f" certified {nc}/{n} — round-2 host path 2050 ms, 50x bar 41 ms",
+        flush=True,
+    )
+    _dump()
+
+
+def sec_willard():
+    """x-windowed Willard plane kernel at the bench config (4096 atoms,
+    81^3 grid) vs the full-window kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from waterorderlib_tpu.ops.pallas.willard_grid import (
+        suggest_window_x,
+        willard_density_grid,
+    )
+
+    pts, box_l = _water(4096)
+    box = jnp.asarray([box_l] * 3, jnp.float32)
+    g0, dg = 0.0, float(box_l / 81)
+    wxw, pxw = suggest_window_x(4096, float(box_l))
+    RESULTS["willard_window_x"] = [int(wxw), int(pxw)]
+    print(f"suggest_window_x -> window_x={wxw}, pad_x={pxw}", flush=True)
+
+    def run(wx, px, it):
+        p = jnp.asarray(pts + np.float32(1e-6 * it))
+        d, _, cov = willard_density_grid(
+            p, box, g0, dg, 81, g0, dg, 81, g0, dg, 81, 2.4,
+            window_x=wx, pad_x=px,
+        )
+        return d, cov
+
+    dt_full = _time(lambda it: run(0, 0, it))
+    RESULTS["willard4k_fullwin_ms"] = dt_full * 1e3
+    print(f"willard 4k full-window: {dt_full*1e3:.2f} ms/frame", flush=True)
+    if wxw:
+        d, cov = run(wxw, pxw, 0)
+        covered = bool(np.asarray(cov))
+        RESULTS["willard4k_xwindow_covered"] = covered
+        if covered:
+            dt_win = _time(lambda it: run(wxw, pxw, it))
+            RESULTS["willard4k_xwindow_ms"] = dt_win * 1e3
+            print(
+                f"willard 4k x-window: {dt_win*1e3:.2f} ms/frame "
+                f"({dt_full/max(dt_win, 1e-9):.2f}x)", flush=True
+            )
+            d0, _ = run(0, 0, 0)
+            err = float(jnp.max(jnp.abs(d - d0)))
+            RESULTS["willard4k_xwindow_maxabs_vs_full"] = err
+            print(f"willard x-window vs full max|diff|: {err:.2e}", flush=True)
+    _dump()
+
+
+if __name__ == "__main__":
+    import jax
+
+    print("devices:", jax.devices(), flush=True)
+    sections = sys.argv[1:] or ["voronoi", "willard"]
+    for s in sections:
+        print(f"=== {s} ===", flush=True)
+        try:
+            globals()[f"sec_{s}"]()
+        except Exception as e:  # noqa: BLE001 — keep the sweep going
+            print(f"section {s} failed: {type(e).__name__}: {e}", flush=True)
+            RESULTS[f"section_{s}"] = f"failed: {e}"
+            _dump()
+    print(json.dumps(RESULTS, indent=1))
