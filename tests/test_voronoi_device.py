@@ -489,6 +489,11 @@ def test_pallas_cells_interpret_matches_clip_builder():
         np.asarray(ref["face_nverts"])[both]
         == np.asarray(out["face_nverts"])[both]
     ).all()
+    np.testing.assert_allclose(
+        np.asarray(out["face_area"])[both],
+        np.asarray(ref["face_area"])[both],
+        atol=5e-5,
+    )
 
 
 def test_pallas_cells_degenerate_interior_not_miscertified():

@@ -627,6 +627,11 @@ def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
                 cell_impl="pallas" if use_cells else cell_impl,
             )
             _jax.block_until_ready(out["vol"])
+            get_logger().info(
+                "voronoi cells: served by topk=%s cells=%s (n=%d, k=%d/%d)",
+                "pallas" if use_topk else "xla-window",
+                "pallas" if use_cells else cell_impl, nc, k, k_search,
+            )
             return out
         except (ImportError, _jax.errors.JaxRuntimeError) as e:
             get_logger().warning(
