@@ -516,3 +516,45 @@ def test_pallas_cells_degenerate_interior_not_miscertified():
     assert (cert & (np.abs(vol - a**3) > 1e-2 * a**3)).sum() == 0
     # with the detector the degenerate cells dedup and certify correctly
     assert cert.sum() == len(pts)
+
+
+def test_pallas_combined_topk_cells_interpret():
+    """The full TPU dispatch composition (Pallas top-K search feeding the
+    fused cell kernel) in interpret mode, vs the XLA window+clip path.
+    Certified flags and moments must agree (ties in the top-K search may
+    legally differ only on uncertified cells)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from waterorderlib_tpu.surface import voronoi_device as vd
+
+    pts_np, box_l = _water_points(n=600, seed=5)
+    pts = jnp.asarray(pts_np, jnp.float32)
+    ext = vd.mirror_points_device(pts, box_l)
+    box = jnp.asarray([vd._NO_PBC_BOX] * 3, jnp.float32)
+    win = vd._suggest_win(len(pts_np), int(ext.shape[0]), float(box_l), 64)
+    ref = vd._cells_blocked(
+        pts, ext, box, 32, 64, 256, 1e-4, win=win,
+        topk_impl="window", cell_impl="clip",
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out = vd._cells_blocked(
+            pts, ext, box, 32, 64, 256, 1e-4, win=win,
+            topk_impl="pallas", topk_seg=768, cell_impl="pallas",
+        )
+    for o in (ref, out):
+        o["certified"] = (
+            np.asarray(o["ok_shape"])
+            & np.asarray(o["win_covered"])
+            & np.asarray(o["nbr_dist"][:, -1] >= 2.0 * o["r_cell"])
+        )
+    cr, cp = ref["certified"], out["certified"]
+    both = cr & cp
+    assert both.sum() >= 0.7 * len(pts_np)
+    assert (cr ^ cp).mean() <= 0.02  # tie-order differences only
+    np.testing.assert_allclose(
+        np.asarray(out["vol"])[both], np.asarray(ref["vol"])[both], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["area"])[both], np.asarray(ref["area"])[both], rtol=1e-5
+    )
