@@ -387,6 +387,30 @@ def breakdown():
         )
     except Exception as e:
         out["voronoi_device"] = f"failed: {type(e).__name__}"
+
+    # hybrid end to end at 12k (tier ladder + host fallback) — the judged
+    # voronoi_calc number: round-2 host path 2050 ms/frame, 50x bar 41 ms
+    try:
+        from waterorderlib_tpu.surface.voronoi_device import (
+            voronoi_volumes_hybrid,
+        )
+
+        pv = np.asarray(posv[0])
+        bl = float(boxv)
+        vol, area, nc = voronoi_volumes_hybrid(pv, bl, nv)  # warm the jits
+        best = float("inf")
+        for i in range(2):
+            t0 = _time.time()
+            vol, area, nc = voronoi_volumes_hybrid(
+                pv + np.float32(1e-5 * (i + 1)), bl, nv
+            )
+            best = min(best, _time.time() - t0)
+        out["voronoi_hybrid_e2e"] = entry(
+            best * 1e3, nv, 1, certified_frac=round(int(nc) / nv, 4),
+            vs_host_ms=2050.0,
+        )
+    except Exception as e:
+        out["voronoi_hybrid_e2e"] = f"failed: {type(e).__name__}"
     return out
 
 
