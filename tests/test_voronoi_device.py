@@ -323,7 +323,7 @@ def test_pallas_topk_fallback_logs_and_stays_correct(monkeypatch, caplog):
     with caplog.at_level(logging.WARNING, logger="waterorderlib_tpu"):
         out = vd.voronoi_cells_device(pts, box_l, len(pts_np))
     assert any(
-        "voronoi pallas kernels failed" in r.message for r in caplog.records
+        "voronoi pallas path failed" in r.message for r in caplog.records
     )
     np.testing.assert_array_equal(np.asarray(out["vol"]), refv)
     np.testing.assert_array_equal(np.asarray(out["certified"]), refc)

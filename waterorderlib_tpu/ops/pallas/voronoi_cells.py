@@ -91,7 +91,8 @@ def _kernel_tables(k: int, ks: int):
     return pp, f, ohi, ohj, pt, sgn, summ
 
 
-def _make_kernel(k: int, ks: int, pp: int, f: int, ba: int, eps: float):
+def _make_kernel(k: int, ks: int, pp: int, f: int, ba: int, eps: float,
+                 dedup_mode: str = "auto"):
     kext = ks - k
 
     def kernel(cols_ref, rows_ref, sscale_ref, flag_ref, ohi_ref, ohj_ref,
@@ -263,12 +264,17 @@ def _make_kernel(k: int, ks: int, pp: int, f: int, ba: int, eps: float):
                     taken = taken | (dup & oeok & (e_in_face >= d))
                 return face_sums(eok & ~taken)
 
-            vax, vay, vaz, gx, gy, gz, nedges, raw_area = jax.lax.cond(
-                (dedup_flag > 0.5) | tangency,
-                dedup,
-                lambda _: sums0,
-                operand=None,
-            )
+            if dedup_mode == "always":
+                # no data-dependent control flow: Mosaic-safe variant the
+                # dispatcher retries with if the auto kernel fails to lower
+                vax, vay, vaz, gx, gy, gz, nedges, raw_area = dedup(None)
+            else:
+                vax, vay, vaz, gx, gy, gz, nedges, raw_area = jax.lax.cond(
+                    (dedup_flag > 0.5) | tangency,
+                    dedup,
+                    lambda _: sums0,
+                    operand=None,
+                )
             face_gap = jnp.sqrt(gx * gx + gy * gy + gz * gz)
             face_real = (nedges >= 2.5) & (raw_area > tol)
             face_area = jnp.where(face_real, raw_area, 0.0)
@@ -322,8 +328,9 @@ def fits_voronoi_cells(k: int, ks: int) -> bool:
     return tables + work <= 12_000_000
 
 
-@partial(jax.jit, static_argnames=("k", "eps", "ba", "interpret"))
-def _cells_pallas(cols, rows, s_scale, flags, k, eps, ba=8, interpret=False):
+@partial(jax.jit, static_argnames=("k", "eps", "ba", "interpret", "dedup_mode"))
+def _cells_pallas(cols, rows, s_scale, flags, k, eps, ba=8, interpret=False,
+                  dedup_mode="auto"):
     ks = cols.shape[1]
     pp, f, ohi, ohj, pt, sgn, summ = _kernel_tables(k, ks)
     num = cols.shape[0]
@@ -333,7 +340,7 @@ def _cells_pallas(cols, rows, s_scale, flags, k, eps, ba=8, interpret=False):
     out_blk = lambda i: (i, 0, 0, 0)
     full2 = lambda i: (0, 0)
     scal, fa, fn = pl.pallas_call(
-        _make_kernel(k, ks, pp, f, ba, eps),
+        _make_kernel(k, ks, pp, f, ba, eps, dedup_mode),
         grid=(n_blk,),
         in_specs=[
             pl.BlockSpec((ba, ks, 8), grid_blk, memory_space=pltpu.VMEM),
@@ -369,7 +376,8 @@ def _cells_pallas(cols, rows, s_scale, flags, k, eps, ba=8, interpret=False):
 
 
 def voronoi_cells_pallas(
-    rel_all, valid, is_boundary, k: int, eps: float, interpret: bool = False
+    rel_all, valid, is_boundary, k: int, eps: float, interpret: bool = False,
+    dedup_mode: str = "auto",
 ):
     """Fused cell moments for a batch of atoms. Contract-identical to
     vmapping `voronoi_device._cell_moments_clip` over atoms, except that
@@ -401,7 +409,8 @@ def voronoi_cells_pallas(
         s_scale = jnp.concatenate([s_scale, jnp.ones(pad, jnp.float32)])
         flags = jnp.concatenate([flags, jnp.zeros(pad, jnp.float32)])
     scal, fa, fn = _cells_pallas(
-        cols, rows, s_scale, flags, k, float(eps), interpret=interpret
+        cols, rows, s_scale, flags, k, float(eps), interpret=interpret,
+        dedup_mode=dedup_mode,
     )
     scal, fa, fn = scal[:num], fa[:num], fn[:num]
     return {

@@ -534,7 +534,7 @@ def _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=None,
         win_cov = jnp.ones(centers.shape[0], bool)
     rel_all = ext[nl.idx] - centers[:, None, :]  # (num, K_search, 3)
 
-    if cell_impl == "pallas":
+    if cell_impl in ("pallas", "pallas_always"):
         from waterorderlib_tpu.ops.pallas.voronoi_cells import (
             voronoi_cells_pallas,
         )
@@ -545,7 +545,10 @@ def _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=None,
         rel_parked = jnp.where(nl.valid[..., None], rel_all, park)
         # mirror candidates among the build planes force endpoint dedup
         is_boundary = jnp.any(nl.idx[:, :k] >= ext.shape[0] // 4, axis=1)
-        out = voronoi_cells_pallas(rel_parked, nl.valid, is_boundary, k, eps)
+        out = voronoi_cells_pallas(
+            rel_parked, nl.valid, is_boundary, k, eps,
+            dedup_mode="always" if cell_impl == "pallas_always" else "auto",
+        )
         out["nbr_dist"] = nl.dist
         out["nbr_idx"] = nl.idx
         out["nbr_valid"] = nl.valid
@@ -619,25 +622,30 @@ def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
     use_cells = (
         on_tpu_f32 and cell_impl == "clip" and fits_voronoi_cells(k, k_search)
     )
-    if use_topk or use_cells:
+    cell_tiers = [cell_impl]
+    if use_cells:
+        # the "always" variant has no data-dependent control flow — retried
+        # if the auto kernel (lax.cond on the tangency detector) fails to
+        # lower on this Mosaic version
+        cell_tiers = ["pallas", "pallas_always"] + cell_tiers
+    for ci in cell_tiers if (use_topk or use_cells) else []:
         try:
             out = _cells_blocked(
                 centers, ext, box, k, k_search, row_block, eps, win=win,
                 topk_impl="pallas" if use_topk else "window", topk_seg=seg,
-                cell_impl="pallas" if use_cells else cell_impl,
+                cell_impl=ci,
             )
             _jax.block_until_ready(out["vol"])
             get_logger().info(
                 "voronoi cells: served by topk=%s cells=%s (n=%d, k=%d/%d)",
-                "pallas" if use_topk else "xla-window",
-                "pallas" if use_cells else cell_impl, nc, k, k_search,
+                "pallas" if use_topk else "xla-window", ci, nc, k, k_search,
             )
             return out
         except (ImportError, _jax.errors.JaxRuntimeError) as e:
             get_logger().warning(
-                "voronoi pallas kernels failed (topk=%s cells=%s; %s: %s); "
-                "falling back to the XLA clip path",
-                use_topk, use_cells, type(e).__name__, e,
+                "voronoi pallas path failed (topk=%s cells=%s; %s: %s); "
+                "trying the next tier",
+                use_topk, ci, type(e).__name__, e,
             )
     return _cells_blocked(
         centers, ext, box, k, k_search, row_block, eps, win=win,
