@@ -60,16 +60,19 @@ def sec_voronoi():
     n = len(pts)
     win = None
 
-    def run(cell_impl, topk_impl, it):
+    def run(cell_impl, topk_impl, it, k=32, ks=64, seg=768):
         p = jnp.asarray(pts + np.float32(1e-6 * it))
         ext = vd.mirror_points_device(p, box_l)
         box = jnp.asarray([vd._NO_PBC_BOX] * 3, jnp.float32)
-        w = vd._suggest_win(n, int(ext.shape[0]), float(box_l), 64)
+        w = vd._suggest_win(n, int(ext.shape[0]), float(box_l), ks)
         out = vd._cells_blocked(
-            p, ext, box, 32, 64, 256, 1e-4, win=w,
-            topk_impl=topk_impl, topk_seg=768, cell_impl=cell_impl,
+            p, ext, box, k, ks, 256, 1e-4, win=w,
+            topk_impl=topk_impl, topk_seg=seg, cell_impl=cell_impl,
         )
         return out["vol"]
+
+    def run_tier(k, ks, it):
+        return run("pallas", "pallas", it, k=k, ks=ks, seg=512)
 
     for label, cell, topk in (
         ("triple+window_r2cfg", "triple", "window"),
@@ -89,21 +92,37 @@ def sec_voronoi():
             )
         _dump()
 
-    # hybrid end to end (full dispatcher + tier ladder + host fallback)
-    for it, key in ((0, "voronoi12k_hybrid_e2e_cold_s"), (1, "voronoi12k_hybrid_e2e_s")):
-        t0 = time.perf_counter()
-        vol, area, nc = vd.voronoi_volumes_hybrid(
-            pts + np.float32(1e-5 * it), box_l, n
-        )
-        RESULTS[key] = time.perf_counter() - t0
-    RESULTS["voronoi12k_certified"] = int(nc)
-    print(
-        f"voronoi 12k hybrid e2e: {RESULTS['voronoi12k_hybrid_e2e_s']*1e3:.0f}"
-        f" ms/frame warm ({RESULTS['voronoi12k_hybrid_e2e_cold_s']:.1f} s cold),"
-        f" certified {nc}/{n} — round-2 host path 2050 ms, 50x bar 41 ms",
-        flush=True,
-    )
+    # fused kernel at the wide tier-1 config (40, 96)
+    try:
+        dt = _time(lambda it: run_tier(40, 96, it))
+        RESULTS["voronoi12k_fused_40_96_ms"] = dt * 1e3
+        print(f"voronoi 12k fused (40,96): {dt*1e3:.1f} ms/frame", flush=True)
+    except Exception as e:  # noqa: BLE001
+        RESULTS["voronoi12k_fused_40_96_ms"] = f"failed: {type(e).__name__}: {e}"
+        print(f"voronoi 12k fused (40,96) FAILED: {e}", flush=True)
     _dump()
+
+    # hybrid end to end (full dispatcher + tier ladder + host fallback),
+    # default vs wide tier-1 ladder
+    for tiers, tag in ((vd.DEFAULT_TIERS, "default"), (vd.WIDE_TIERS, "wide")):
+        for it, key in (
+            (0, f"voronoi12k_hybrid_{tag}_cold_s"),
+            (1, f"voronoi12k_hybrid_{tag}_s"),
+        ):
+            t0 = time.perf_counter()
+            vol, area, nc = vd.voronoi_volumes_hybrid(
+                pts + np.float32(1e-5 * it), box_l, n, tiers=tiers
+            )
+            RESULTS[key] = time.perf_counter() - t0
+        RESULTS[f"voronoi12k_certified_{tag}"] = int(nc)
+        print(
+            f"voronoi 12k hybrid[{tag}] e2e: "
+            f"{RESULTS[f'voronoi12k_hybrid_{tag}_s']*1e3:.0f} ms/frame warm "
+            f"({RESULTS[f'voronoi12k_hybrid_{tag}_cold_s']:.1f} s cold), "
+            f"certified {nc}/{n} — round-2 host 2050 ms, 50x bar 41 ms",
+            flush=True,
+        )
+        _dump()
 
 
 def sec_willard():

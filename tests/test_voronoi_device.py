@@ -558,3 +558,34 @@ def test_pallas_combined_topk_cells_interpret():
     np.testing.assert_allclose(
         np.asarray(out["area"])[both], np.asarray(ref["area"])[both], rtol=1e-5
     )
+
+
+def test_pallas_cells_wide_tier_interpret():
+    """The fused kernel at the wide tier-1 config (k=40, k_search=96)
+    matches the XLA clip builder (interpret mode)."""
+    import jax
+
+    from waterorderlib_tpu.ops.pallas.voronoi_cells import (
+        fits_voronoi_cells,
+        voronoi_cells_pallas,
+    )
+    from waterorderlib_tpu.surface import voronoi_device as vd
+
+    assert fits_voronoi_cells(40, 96)
+    assert not fits_voronoi_cells(48, 96)  # PT alone exceeds VMEM
+    pts, box_l = _water_points(n=120, seed=2)
+    rel_all, rel_parked, nl, is_b = _kernel_inputs(pts, box_l, k=40, ks=96)
+    ref = jax.vmap(lambda r, o: vd._cell_moments_clip(r, o, 40, 1e-4))(
+        rel_all, nl.valid
+    )
+    out = voronoi_cells_pallas(
+        rel_parked, nl.valid, is_b, 40, 1e-4, interpret=True
+    )
+    ro = np.asarray(ref["ok_shape"])
+    po = np.asarray(out["ok_shape"])
+    assert (ro ^ po).sum() == 0
+    both = ro & po
+    assert both.sum() >= 0.5 * len(pts)
+    np.testing.assert_allclose(
+        np.asarray(out["vol"])[both], np.asarray(ref["vol"])[both], rtol=1e-5
+    )

@@ -37,9 +37,10 @@ padded to PP lanes, F = K*K face-edge slots):
   closure, face-gap, negativity and extra-cut certificates as in
   `_faces_from_edges`.
 
-Tier-1 only (k=32, k_search=64): the face one-hot for k=48 is ~10 MB of
-VMEM, and escalation tiers process only a few percent of atoms — they stay
-on the XLA clip path.
+Fits k=32/k_search=64 (~4 MB VMEM) and k=40/96 (~9 MB; 96% tier-1
+certification on liquid boxes vs 84% at 32/64 — see PERF.md); k=48's face
+one-hot alone is 10.6 MB, so higher escalation tiers stay on the XLA clip
+path (they process only a few percent of atoms).
 """
 
 from __future__ import annotations
@@ -319,11 +320,12 @@ def _make_kernel(k: int, ks: int, pp: int, f: int, ba: int, eps: float,
 
 
 def fits_voronoi_cells(k: int, ks: int) -> bool:
-    """Static tables + working set must fit scoped VMEM; tier-1 only."""
-    if k > 32 or ks > 64 or ks < k:
+    """Static tables + working set must fit scoped VMEM. k=32/ks=64 needs
+    ~4 MB, k=40/ks=96 ~9 MB; k=48 (PT alone 10.6 MB) does not fit."""
+    if ks < k or ks > 128:
         return False
     pp, f, *_ = _kernel_tables(k, ks)
-    tables = (2 * 64 * pp + pp * f + f + f * k) * 4
+    tables = (2 * ks * pp + pp * f + f + f * k) * 4
     work = (4 * ks * pp + 30 * pp + 12 * f) * 4
     return tables + work <= 12_000_000
 
