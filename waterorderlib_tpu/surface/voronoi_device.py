@@ -61,6 +61,26 @@ _FAR = 1.0e6
 
 
 @lru_cache(maxsize=8)
+def _pair_tables(k: int):
+    """Static pair-level index tables for K planes: pairs, pairs-per-face,
+    and the opposing face of each pair — all the clip builder needs (the
+    triple tables cost O(K^3) host work, prohibitive at the K=96/128
+    rescue tiers)."""
+    prs = np.array(list(itertools.combinations(range(k), 2)), np.int32)
+    face_pairs = np.zeros((k, k - 1), np.int32)
+    face_other = np.zeros((k, k - 1), np.int32)
+    cnt = np.zeros(k, np.int64)
+    for p, (i, j) in enumerate(prs):
+        face_pairs[i, cnt[i]] = p
+        face_other[i, cnt[i]] = j
+        cnt[i] += 1
+        face_pairs[j, cnt[j]] = p
+        face_other[j, cnt[j]] = i
+        cnt[j] += 1
+    return prs, face_pairs, face_other
+
+
+@lru_cache(maxsize=8)
 def _tables(k: int):
     """Static index tables for K planes: triples, pairs, triples-per-pair,
     and pairs-per-face (+ the opposing face of each pair)."""
@@ -342,7 +362,7 @@ def _cell_moments_clip(rel_all, slot_ok, k: int, eps: float):
     the built cell iff it cuts some vertex, and all vertices are feasible
     endpoints, so `extra_cut` tests every feasible endpoint against them.
     """
-    _tri, prs, _pt, face_pairs, face_other = _tables(k)
+    prs, face_pairs, face_other = _pair_tables(k)
     dtype = rel_all.dtype
     ks = rel_all.shape[0]
     park = jnp.asarray(_park_directions(ks), dtype) * jnp.asarray(_FAR, dtype)
@@ -752,12 +772,21 @@ def _host_cell(rel: np.ndarray):
 # endpoint-identity dedup + face-gap certificates landed (it now rescues
 # ~60% of the tier-2 residue at 12k — extra_cut cells that genuinely need
 # more than 48 build planes; before those fixes it rescued almost nothing)
-DEFAULT_TIERS = ((32, 64), (48, 96), (64, 128))
+# The (96, 192)/(128, 256) rescue tiers exist because of the host
+# fallback's cost: near-wall atoms (0.1-0.6 A from a box face) have
+# mirror-dominated candidate sets and stay extra_cut even at k=64 (a thin
+# slab cell against the box face needs many planes), and each scipy
+# HalfspaceIntersection fallback costs ~77 ms on a 1-core host — 32
+# residual cells at 12k cost more than the whole device tessellation.
+# (128, 256) certified 32/32 of that residue at 1.1e-3 f32 accuracy; the
+# clip builder's O(P*K) cost keeps even C(128,2)=8128 pairs cheap for the
+# handful of cells that reach it.
+DEFAULT_TIERS = ((32, 64), (48, 96), (64, 128), (96, 192), (128, 256))
 # wide tier-1 alternative: (40, 96) certifies ~96% of liquid cells on the
 # first pass (vs ~84% at (32, 64) — extra_cut vetoes drop 4x, d_K >= 2R
 # vetoes vanish), trading ~2x tier-1 arithmetic for a 4x smaller
 # escalation ladder; still fits the fused kernel's VMEM budget
-WIDE_TIERS = ((40, 96), (48, 96), (64, 128))
+WIDE_TIERS = ((40, 96), (48, 96), (64, 128), (96, 192), (128, 256))
 
 
 def voronoi_volumes_hybrid(
@@ -778,6 +807,10 @@ def voronoi_volumes_hybrid(
     closes them, matching orderParam_lib.py:920-962 semantics).
     """
     points = np.asarray(points)
+    if cell_impl == "triple":
+        # the legacy triple builder is O(C(k,3)*k): the (96, 192)/(128, 256)
+        # rescue tiers are clip-only
+        tiers = tuple(t for t in tiers if t[0] <= 64)
     k0, ks0 = tiers[0][:2]
     out = voronoi_cells_device(
         points, box_l, num, k=k0, k_search=ks0, row_block=row_block,
@@ -911,6 +944,8 @@ def voronoi_contacts_hybrid(
     of the returned arrays are zero. Default: all `num` rows.
     """
     points = np.asarray(points)
+    if cell_impl == "triple":
+        tiers = tuple(t for t in tiers if t[0] <= 64)  # see volumes hybrid
     P = len(points)
     sel_rows = np.arange(num) if rows is None else np.asarray(rows, int)
     k0, ks0 = tiers[0][:2]
