@@ -169,10 +169,49 @@ def sasa_per_atom(
     pos = jnp.asarray(pos)
     rad = jnp.asarray(radii) + probe_radius
     box = jnp.asarray(box)
+    # TPU + f32: the fused MXU occlusion kernel (same certificate; the
+    # occlusion-boundary rounding differs at ~eps — see sasa_kernel.py)
+    if (
+        jax.devices()[0].platform == "tpu"
+        and pos.dtype == jnp.float32
+        and pos.shape[0] >= 512
+    ):
+        try:
+            from waterorderlib_tpu.ops.pallas.sasa_kernel import (
+                sphere_areas_pallas,
+            )
+
+            areas, exposed, ok = sphere_areas_pallas(
+                pos, rad, pts, box, n_expose
+            )
+            jax.block_until_ready(areas)
+            if bool(ok):
+                _log_tier_once("pallas-mxu")
+                return areas, exposed
+        except (ImportError, jax.errors.JaxRuntimeError) as e:
+            from waterorderlib_tpu.utils.logging import get_logger
+
+            get_logger().warning(
+                "sasa pallas kernel failed (%s: %s); falling back to the "
+                "XLA occluder-pruned sweep", type(e).__name__, e,
+            )
     areas, exposed, ok = sphere_surface_areas_topk(pos, rad, pts, box, n_expose)
     if bool(ok):
+        _log_tier_once("xla-topk")
         return areas, exposed
+    _log_tier_once("xla-brute")
     return sphere_surface_areas(pos, rad, pts, box, n_expose)
+
+
+_logged_tiers: set = set()
+
+
+def _log_tier_once(tier: str) -> None:
+    if tier not in _logged_tiers:
+        _logged_tiers.add(tier)
+        from waterorderlib_tpu.utils.logging import get_logger
+
+        get_logger().info("sasa_per_atom: occlusion tier=%s", tier)
 
 
 @partial(jax.jit, static_argnames=("n_points",))
