@@ -334,6 +334,29 @@ def breakdown():
     except Exception as e:
         out["sasa"] = f"failed: {type(e).__name__}"
 
+    # fused MXU occlusion kernel (the sasa_per_atom TPU tier)
+    try:
+        if jax.devices()[0].platform == "tpu":
+            from waterorderlib_tpu.ops.pallas.sasa_kernel import (
+                sphere_areas_pallas,
+            )
+
+            @jax.jit
+            def sasa_mxu(p, b):
+                def one(carry, frame):
+                    areas, _, ok = sphere_areas_pallas(
+                        frame[0], radii, pts, frame[1]
+                    )
+                    return carry, (jnp.sum(areas), ok)
+
+                _, res = jax.lax.scan(one, 0.0, (p, b))
+                return res
+
+            sec, _ = _time_batch(sasa_mxu, poss, boxess, Fs, iters=3)
+            out["sasa_mxu"] = entry(sec * 1e3, N_WATERS, Fs, n_sphere_points=1000)
+    except Exception as e:
+        out["sasa_mxu"] = f"failed: {type(e).__name__}"
+
     # spherical-harmonic coefficients, full l<=12 table (batched m-column
     # Legendre recursion, order/sphharm.py)
     try:

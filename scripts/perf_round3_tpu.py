@@ -172,11 +172,53 @@ def sec_willard():
     _dump()
 
 
+def sec_sasa():
+    """MXU occlusion kernel vs XLA topk sweep, 4096 and 12288 atoms."""
+    import jax.numpy as jnp
+
+    from waterorderlib_tpu.core.geometry import sphere_points
+    from waterorderlib_tpu.ops.pallas.sasa_kernel import sphere_areas_pallas
+    from waterorderlib_tpu.surface.sasa import sphere_surface_areas_topk
+
+    pts = jnp.asarray(sphere_points(1000), jnp.float32)
+    for n in (4096, 12288):
+        pos, box_l = _water(n)
+        box = jnp.asarray([box_l] * 3, jnp.float32)
+        radii = jnp.full((n,), 2.9, jnp.float32)
+
+        def xla(it):
+            a, _, _ = sphere_surface_areas_topk(
+                jnp.asarray(pos + np.float32(1e-6 * it)), radii, pts, box
+            )
+            return a
+
+        def mxu(it):
+            a, _, _ = sphere_areas_pallas(
+                jnp.asarray(pos + np.float32(1e-6 * it)), radii, pts, box
+            )
+            return a
+
+        dt_x = _time(xla)
+        RESULTS[f"sasa{n}_xla_ms"] = dt_x * 1e3
+        print(f"sasa {n} xla-topk: {dt_x*1e3:.1f} ms/frame", flush=True)
+        try:
+            dt_m = _time(mxu)
+            RESULTS[f"sasa{n}_mxu_ms"] = dt_m * 1e3
+            print(
+                f"sasa {n} mxu-kernel: {dt_m*1e3:.1f} ms/frame "
+                f"({dt_x/max(dt_m,1e-9):.1f}x)", flush=True
+            )
+        except Exception as e:  # noqa: BLE001
+            RESULTS[f"sasa{n}_mxu_ms"] = f"failed: {type(e).__name__}: {e}"
+            print(f"sasa {n} mxu FAILED: {e}", flush=True)
+        _dump()
+
+
 if __name__ == "__main__":
     import jax
 
     print("devices:", jax.devices(), flush=True)
-    sections = sys.argv[1:] or ["voronoi", "willard"]
+    sections = sys.argv[1:] or ["voronoi", "willard", "sasa"]
     for s in sections:
         print(f"=== {s} ===", flush=True)
         try:
