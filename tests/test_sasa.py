@@ -36,3 +36,44 @@ def test_pallas_occlusion_kernel_matches_topk_interpret():
     # on a generic liquid box
     assert np.abs(nv_ref - nv_p).max() < 0.5
     assert (np.asarray(e_ref) ^ np.asarray(e_p)).sum() == 0
+
+
+def test_sasa_pallas_fallback_logs_and_stays_correct(monkeypatch, caplog):
+    """If the MXU kernel fails on hardware, sasa_per_atom logs and falls
+    back to the XLA occluder-pruned sweep with identical results."""
+    import logging
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import waterorderlib_tpu.ops.pallas.sasa_kernel as sk
+    import waterorderlib_tpu.surface.sasa as sasa_mod
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n = 600
+    box_l = (n / 0.033456) ** (1.0 / 3.0)
+    base = np.asarray(water_oxygen_lattice(n, box_l, seed=1), float)
+    rs = np.random.RandomState(0)
+    pos = ((base + rs.normal(scale=0.6, size=base.shape)) % box_l).astype(
+        np.float32
+    )
+    radii = np.full(n, 1.5, np.float32)
+    box = jnp.asarray([box_l] * 3, jnp.float32)
+    a_ref, e_ref = sasa_mod.sasa_per_atom(pos, radii, box)
+
+    monkeypatch.setattr(
+        jax, "devices", lambda *a, **k: [types.SimpleNamespace(platform="tpu")]
+    )
+
+    def boom(*a, **k):
+        raise jax.errors.JaxRuntimeError("simulated mosaic failure")
+
+    monkeypatch.setattr(sk, "sphere_areas_pallas", boom)
+    sasa_mod._logged_tiers.clear()
+    with caplog.at_level(logging.WARNING, logger="waterorderlib_tpu"):
+        a_f, e_f = sasa_mod.sasa_per_atom(pos, radii, box)
+    assert any("sasa pallas kernel failed" in r.message for r in caplog.records)
+    np.testing.assert_array_equal(np.asarray(a_f), np.asarray(a_ref))
+    np.testing.assert_array_equal(np.asarray(e_f), np.asarray(e_ref))
