@@ -53,8 +53,8 @@ def main(argv=None):
         ("rdf", [("--binwidth", float, 0.1), ("--totbins", int, 150)]),
         ("hb", [("--dist-cut", float, 3.5), ("--ang-cut", float, 120.0)]),
         ("chempot", [("--probe-radius", float, 3.3), ("--insertions", int, 10000)]),
-        ("voronoi", []),
-        ("contactarea", [("--cutoff", float, 4.0)]),
+        ("voronoi", [("--engine", str, "auto")]),
+        ("contactarea", [("--cutoff", float, 4.0), ("--engine", str, "auto")]),
         ("boundwrap", [("--cutoff", float, 4.0), ("--cache", str, "")]),
         ("msd", [("--dt", float, 1.0)]),
     ]:
@@ -144,7 +144,8 @@ def main(argv=None):
     elif args.cmd == "voronoi":
         from waterorderlib_tpu.drivers.voronoi_driver import voronoi_calc
 
-        avg_v, var_v, avg_a, var_a, avg_e, var_e = voronoi_calc(args.top, args.traj, **common)
+        avg_v, var_v, avg_a, var_a, avg_e, var_e = voronoi_calc(
+            args.top, args.traj, engine=args.engine, **common)
         print(json.dumps({"avgVol": avg_v[0].tolist(), "avgArea": avg_a[0].tolist(),
                           "avgEta": avg_e[0].tolist()}))
     elif args.cmd == "contactarea":
@@ -152,7 +153,8 @@ def main(argv=None):
 
         common.pop("output_dir")
         tot, tot_ci, frac, frac_ci = contact_area_calc(
-            args.top, args.traj, cutoff=args.cutoff, **common
+            args.top, args.traj, cutoff=args.cutoff, engine=args.engine,
+            **common
         )
         print(json.dumps({"totArea": tot, "fracArea": frac}))
     elif args.cmd == "boundwrap":
