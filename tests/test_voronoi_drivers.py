@@ -47,3 +47,17 @@ def test_hydrated_volume_calc():
     top, traj = make_water_box(N_WAT, n_frames=2, seed=44, solute_elements=["C", "C"])
     (vol, vol_ci), (area, area_ci) = voronoi_driver.hydrated_volume_calc(top, traj)
     assert vol > 0 and area > 0
+
+
+def test_pick_engine_auto_requires_tpu(monkeypatch):
+    # "auto" only routes to the device tessellation when the backend is a
+    # real TPU — on CPU the clip builder loses to Qhull at every size
+    monkeypatch.setattr(voronoi_driver, "_on_tpu", lambda: False)
+    assert voronoi_driver._pick_engine("auto", 100_000) == "host"
+    monkeypatch.setattr(voronoi_driver, "_on_tpu", lambda: True)
+    assert voronoi_driver._pick_engine("auto", 100_000) == "device"
+    assert voronoi_driver._pick_engine("auto", 100) == "host"
+    # explicit engines are never overridden
+    monkeypatch.setattr(voronoi_driver, "_on_tpu", lambda: False)
+    assert voronoi_driver._pick_engine("device", 100) == "device"
+    assert voronoi_driver._pick_engine("host", 100_000) == "host"

@@ -38,6 +38,7 @@ from waterorderlib_tpu.order import lsi as lsi_mod
 from waterorderlib_tpu.order import psi6 as psi6_mod
 from waterorderlib_tpu.order import qtet
 from waterorderlib_tpu.stats import blocks
+from waterorderlib_tpu.utils import logging as _logging_mod
 from waterorderlib_tpu.utils.logging import get_logger
 
 
@@ -51,7 +52,9 @@ from waterorderlib_tpu.utils.logging import get_logger
 # a bug and must propagate (VERDICT r2 item 5: no silent degradation).
 KERNEL_FALLBACK_ERRORS = (ImportError, jax.errors.JaxRuntimeError)
 
-_logged_tiers: set = set()
+# shared once-per-key seen-set (utils.logging); aliased so tests can
+# clear/inspect which (driver, tier) pairs served calls this process
+_logged_tiers: set = _logging_mod._LOGGED_ONCE
 
 
 def _log_tier(driver: str, tier: str, err: BaseException | None = None) -> None:
@@ -59,16 +62,17 @@ def _log_tier(driver: str, tier: str, err: BaseException | None = None) -> None:
     a fallback caused by a kernel error is logged as a warning with the
     error, so a Pallas regression is visible instead of a silent 5-50x
     slowdown."""
-    key = (driver, tier)
-    if key in _logged_tiers:
-        return
-    _logged_tiers.add(key)
     if err is not None:
-        get_logger().warning(
-            "%s: kernel dispatch failed (%r); serving tier=%s", driver, err, tier
+        _logging_mod.log_once(
+            (driver, tier),
+            "%s: kernel dispatch failed (%r); serving tier=%s",
+            driver, err, tier,
+            level="warning",
         )
     else:
-        get_logger().info("%s: serving tier=%s", driver, tier)
+        _logging_mod.log_once(
+            (driver, tier), "%s: serving tier=%s", driver, tier
+        )
 
 def _resolve_system(top_file, traj_file, stride):
     """Accept either file paths or in-memory (Topology, Trajectory)."""

@@ -107,10 +107,12 @@ def rdf_calc(
         # large-N tier: the water-water sweep dominates (O(Nw^2/2) pairs x
         # ~150 threshold compares); the cell-list histogram visits only the
         # 27-cell neighborhoods (bit-identical counts). Needs the histogram
-        # range to fit >= 3 cells per box edge.
+        # range to fit >= 3 cells per box edge — checked over EVERY frame in
+        # the batch (an NPT frame shrinking below the bound would raise
+        # inside distance_histogram_celllist mid-run otherwise).
         nw = len(wat_inds)
         rmax = totbins * binwidth
-        use_cell = nw >= 32768 and float(np.min(boxes_b[0])) >= 3.0 * rmax
+        use_cell = nw >= 32768 and float(np.min(boxes_b)) >= 3.0 * rmax
         if use_cell:
             g_ww = np.stack([
                 np.asarray(pairs.rdf_from_counts(

@@ -22,30 +22,46 @@ from waterorderlib_tpu.drivers.orderparams import _resolve_system, _save_hist
 from waterorderlib_tpu.drivers.hbonds_driver import get_bound_wrap
 from waterorderlib_tpu.stats import blocks
 from waterorderlib_tpu.surface.voronoi import voronoi_contacts, voronoi_volumes
-from waterorderlib_tpu.utils.logging import get_logger
+from waterorderlib_tpu.utils import logging as _logging_mod
 
 # point count above which "auto" switches from the host Qhull tessellation
 # to the certified device cells (surface/voronoi_device.py); below it the
-# host path is both exact in f64 and faster than a TPU round-trip
+# host path is both exact in f64 and faster than a TPU round-trip. The
+# reasoning only holds on a TPU backend — on CPU the clip builder's big
+# XLA intermediates lose to Qhull at every size, so "auto" stays on host
+# there (explicit engine="device" still forces it, e.g. for tests).
 _DEVICE_MIN_POINTS = 2048
+
+
+def _on_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # no backend at all
+        return False
 
 
 def _pick_engine(engine: str, n_points: int) -> str:
     if engine == "auto":
-        return "device" if n_points >= _DEVICE_MIN_POINTS else "host"
+        return (
+            "device"
+            if n_points >= _DEVICE_MIN_POINTS and _on_tpu()
+            else "host"
+        )
     if engine not in ("host", "device"):
         raise ValueError(f"engine must be auto|host|device, got {engine!r}")
     return engine
 
 
-_logged_engines = set()
+# shared once-per-key seen-set; keys are (driver, engine)
+_logged_engines = _logging_mod._LOGGED_ONCE
 
 
 def _log_engine_once(driver: str, engine: str, extra: str = ""):
-    key = (driver, engine)
-    if key not in _logged_engines:
-        _logged_engines.add(key)
-        get_logger().info("%s: voronoi engine=%s%s", driver, engine, extra)
+    _logging_mod.log_once(
+        (driver, engine), "%s: voronoi engine=%s%s", driver, engine, extra
+    )
 
 
 def _masked_stats(vals):

@@ -171,6 +171,7 @@ def sasa_per_atom(
     box = jnp.asarray(box)
     # TPU + f32: the fused MXU occlusion kernel (same certificate; the
     # occlusion-boundary rounding differs at ~eps — see sasa_kernel.py)
+    pruned_cert_failed = False
     if (
         jax.devices()[0].platform == "tpu"
         and pos.dtype == jnp.float32
@@ -188,6 +189,10 @@ def sasa_per_atom(
             if bool(ok):
                 _log_tier_once("pallas-mxu")
                 return areas, exposed
+            # the certificate (all occluder counts <= K, from the same
+            # topk_neighbors call with the same K) is shared with the XLA
+            # pruned sweep — re-running that sweep would fail it again
+            pruned_cert_failed = True
         except (ImportError, jax.errors.JaxRuntimeError) as e:
             from waterorderlib_tpu.utils.logging import get_logger
 
@@ -195,23 +200,27 @@ def sasa_per_atom(
                 "sasa pallas kernel failed (%s: %s); falling back to the "
                 "XLA occluder-pruned sweep", type(e).__name__, e,
             )
-    areas, exposed, ok = sphere_surface_areas_topk(pos, rad, pts, box, n_expose)
-    if bool(ok):
-        _log_tier_once("xla-topk")
-        return areas, exposed
+    if not pruned_cert_failed:
+        areas, exposed, ok = sphere_surface_areas_topk(
+            pos, rad, pts, box, n_expose
+        )
+        if bool(ok):
+            _log_tier_once("xla-topk")
+            return areas, exposed
     _log_tier_once("xla-brute")
     return sphere_surface_areas(pos, rad, pts, box, n_expose)
 
 
-_logged_tiers: set = set()
+from waterorderlib_tpu.utils import logging as _logging_mod
+
+# shared once-per-key seen-set; keys are namespaced ("sasa_per_atom", tier)
+_logged_tiers: set = _logging_mod._LOGGED_ONCE
 
 
 def _log_tier_once(tier: str) -> None:
-    if tier not in _logged_tiers:
-        _logged_tiers.add(tier)
-        from waterorderlib_tpu.utils.logging import get_logger
-
-        get_logger().info("sasa_per_atom: occlusion tier=%s", tier)
+    _logging_mod.log_once(
+        ("sasa_per_atom", tier), "sasa_per_atom: occlusion tier=%s", tier
+    )
 
 
 @partial(jax.jit, static_argnames=("n_points",))

@@ -83,9 +83,10 @@ def _pair_tables(k: int):
 @lru_cache(maxsize=8)
 def _tables(k: int):
     """Static index tables for K planes: triples, pairs, triples-per-pair,
-    and pairs-per-face (+ the opposing face of each pair)."""
+    and pairs-per-face (+ the opposing face of each pair). The pair-level
+    tables are shared with the clip builder via _pair_tables."""
+    prs, face_pairs, face_other = _pair_tables(k)
     tri = np.array(list(itertools.combinations(range(k), 3)), np.int32)
-    prs = np.array(list(itertools.combinations(range(k), 2)), np.int32)
     pair_id = {(int(i), int(j)): p for p, (i, j) in enumerate(prs)}
     pair_tri = np.zeros((len(prs), k - 2), np.int32)
     fill = np.zeros(len(prs), np.int64)
@@ -94,16 +95,6 @@ def _tables(k: int):
             p = pair_id[(int(ij[0]), int(ij[1]))]
             pair_tri[p, fill[p]] = t
             fill[p] += 1
-    face_pairs = np.zeros((k, k - 1), np.int32)
-    face_other = np.zeros((k, k - 1), np.int32)
-    cnt = np.zeros(k, np.int64)
-    for p, (i, j) in enumerate(prs):
-        face_pairs[i, cnt[i]] = p
-        face_other[i, cnt[i]] = j
-        cnt[i] += 1
-        face_pairs[j, cnt[j]] = p
-        face_other[j, cnt[j]] = i
-        cnt[j] += 1
     return tri, prs, pair_tri, face_pairs, face_other
 
 

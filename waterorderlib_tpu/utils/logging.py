@@ -10,6 +10,22 @@ import logging
 
 _LOGGER = None
 
+# Process-lifetime seen-set for log_once. Dispatch-tier call sites alias
+# this set module-locally (e.g. drivers.orderparams._logged_tiers) so tests
+# can clear/inspect it; keys are namespaced tuples like (driver, tier).
+_LOGGED_ONCE: set = set()
+
+
+def log_once(key, msg: str, *args, level: str = "info") -> bool:
+    """Emit a log record once per key per process — used by kernel-dispatch
+    tier logging so steady-state driver loops don't spam. Returns whether
+    the record was emitted."""
+    if key in _LOGGED_ONCE:
+        return False
+    _LOGGED_ONCE.add(key)
+    getattr(get_logger(), level)(msg, *args)
+    return True
+
 
 def get_logger(name: str = "waterorderlib_tpu") -> logging.Logger:
     global _LOGGER
