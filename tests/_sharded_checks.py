@@ -281,6 +281,33 @@ def check_msd_mesh(df, da, tmp="/tmp/_sharded_msd_check"):
     print(f"msd mesh option {df}x{da}: ok")
 
 
+def check_voronoi_mesh(df, da, tmp="/tmp/_sharded_voronoi_check"):
+    """voronoi_calc(engine='device', mesh=...) frame-DP tier-1 matches the
+    per-frame device engine (certification identical; volumes/areas agree
+    to f32 blocking noise on the certified cells)."""
+    import os
+    import shutil
+    from waterorderlib_tpu.io.synthetic import make_water_box
+    from waterorderlib_tpu.drivers.voronoi_driver import voronoi_calc
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp + "/a")
+    os.makedirs(tmp + "/b")
+    # F=5 also exercises the repeat-last-frame padding (5 % 8 != 0)
+    top, traj = make_water_box(60, n_frames=5, seed=66, solute_elements=["C"])
+    m = pmesh.make_mesh(df, da)
+    ra = voronoi_calc(top, traj, output_dir=tmp + "/a", engine="device")
+    rb = voronoi_calc(top, traj, output_dir=tmp + "/b", engine="device", mesh=m)
+    for (mean_a, ci_a), (mean_b, ci_b) in zip(ra, rb):
+        np.testing.assert_allclose(mean_a, mean_b, rtol=1e-4)
+        np.testing.assert_allclose(ci_a, ci_b, rtol=1e-2, atol=1e-7)
+    ha = np.loadtxt(tmp + "/a/VolDistribution_0.txt")
+    hb = np.loadtxt(tmp + "/b/VolDistribution_0.txt")
+    assert np.abs(ha[:, 1] - hb[:, 1]).sum() <= 2
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(f"voronoi mesh option {df}x{da}: ok")
+
+
 def main():
     assert len(jax.devices()) >= 8, f"need 8 devices, have {len(jax.devices())}"
     check_mesh_shape(4, 2, n_frames=4, n_wat=128)
@@ -298,6 +325,7 @@ def main():
     check_hb_mesh(4, 2)
     check_chempot_mesh(4, 2)
     check_msd_mesh(4, 2)
+    check_voronoi_mesh(4, 2)
     check_driver_mesh_option(4, 2)
     print("sharded checks: all ok")
 

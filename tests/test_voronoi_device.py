@@ -77,6 +77,33 @@ def test_hybrid_parity_vs_host_f32():
     np.testing.assert_allclose(ad, ah, rtol=5e-3)
 
 
+def test_hybrid_frames_matches_per_frame():
+    """voronoi_volumes_hybrid_frames (one jitted tier-1 over the frame
+    batch) matches the per-frame hybrid: identical certification counts,
+    volumes/areas to f32 blocking noise."""
+    from waterorderlib_tpu.surface.voronoi_device import (
+        voronoi_volumes_hybrid,
+        voronoi_volumes_hybrid_frames,
+    )
+
+    rs = np.random.RandomState(11)
+    n, frames = 80, 3
+    box_l = (n / 0.033456) ** (1.0 / 3.0)
+    pos = rs.uniform(0, box_l, (frames, n, 3)).astype(np.float32)
+    ref_v, ref_a, ref_c = [], [], 0
+    for t in range(frames):
+        v, a, c = voronoi_volumes_hybrid(pos[t], box_l, n)
+        ref_v.append(v)
+        ref_a.append(a)
+        ref_c += c
+    bv, ba, bc = voronoi_volumes_hybrid_frames(pos, np.full(frames, box_l), n)
+    assert bc == ref_c
+    np.testing.assert_allclose(bv, np.stack(ref_v), rtol=1e-4)
+    np.testing.assert_allclose(ba, np.stack(ref_a), rtol=1e-4)
+    # every frame's certified cells tile the box
+    np.testing.assert_allclose(bv.sum(axis=1), box_l**3, rtol=1e-3)
+
+
 def test_hybrid_contacts_parity_vs_host_f32():
     from waterorderlib_tpu.surface.voronoi import voronoi_contacts
     from waterorderlib_tpu.surface.voronoi_device import voronoi_contacts_hybrid

@@ -31,7 +31,8 @@ def _add_common(p):
                         "(larger-than-memory support; 0 = load whole)")
     p.add_argument("--mesh", default="",
                    help="shard over a device mesh, e.g. 4x2 = 4 frame shards "
-                        "x 2 atom shards (tet/3body/lsi/psi/rdf/hb/chempot/msd)")
+                        "x 2 atom shards "
+                        "(tet/3body/lsi/psi/rdf/hb/chempot/msd/voronoi)")
 
 
 def main(argv=None):
@@ -144,8 +145,9 @@ def main(argv=None):
     elif args.cmd == "voronoi":
         from waterorderlib_tpu.drivers.voronoi_driver import voronoi_calc
 
+        mesh_kw = {"mesh": chunk["mesh"]} if "mesh" in chunk else {}
         avg_v, var_v, avg_a, var_a, avg_e, var_e = voronoi_calc(
-            args.top, args.traj, engine=args.engine, **common)
+            args.top, args.traj, engine=args.engine, **common, **mesh_kw)
         print(json.dumps({"avgVol": avg_v[0].tolist(), "avgArea": avg_a[0].tolist(),
                           "avgEta": avg_e[0].tolist()}))
     elif args.cmd == "contactarea":

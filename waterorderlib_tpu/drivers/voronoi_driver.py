@@ -81,6 +81,7 @@ def voronoi_calc(
     output_dir: str = ".",
     seed: int | None = 0,
     engine: str = "auto",
+    mesh=None,
 ):
     """Per-water Voronoi volume/area/asphericity eta = A^3/(36 pi V^2)
     (orderParam_lib.py:964-1111). Returns (avgVol, varVol, avgArea, varArea,
@@ -89,7 +90,12 @@ def voronoi_calc(
 
     engine: "host" = Qhull tessellation (f64-exact); "device" = certified
     TPU cells (surface/voronoi_device.py) with per-atom host fallback;
-    "auto" = device at >= 2048 points."""
+    "auto" = device at >= 2048 points.
+
+    mesh: optional jax.sharding.Mesh (device engine only) — tier-1 cells
+    for the whole frame batch run in one shard_mapped call with frames
+    data-parallel over the mesh (per-frame tessellations are independent);
+    escalation/host fallback stay per-frame on the uncertified residue."""
     top, traj = _resolve_system(top_file, traj_file, stride)
     wat_inds, _, _ = top.get_wat_inds(wat_res)
     sol_inds, *_ = top.get_sol_inds(wat_res)
@@ -99,8 +105,25 @@ def voronoi_calc(
     row_of_wat = {int(w): i for i, w in enumerate(wat_inds)}
     eng = _pick_engine(engine, len(heavy))
     _log_engine_once("voronoi_calc", eng)
+    vol_b = area_b = None
     if eng == "device":
         from waterorderlib_tpu.surface.voronoi_device import voronoi_volumes_hybrid
+
+        if mesh is not None:
+            from waterorderlib_tpu.surface.voronoi_device import (
+                voronoi_volumes_hybrid_frames,
+            )
+
+            pos_b = np.asarray(traj.positions)[:, heavy, :].astype(np.float64)
+            box_ls = np.asarray(traj.boxes)[:, 0].astype(np.float64)
+            vol_b, area_b, n_cert_tot = voronoi_volumes_hybrid_frames(
+                pos_b, box_ls, nw, mesh=mesh
+            )
+            _log_engine_once(
+                "voronoi_calc.cert", "device",
+                f" ({n_cert_tot}/{F * nw} cells device-certified, "
+                f"frames sharded over {int(mesh.devices.size)} devices)",
+            )
 
     stats = {k: np.zeros((F, n_pops + 1)) for k in
              ("avgV", "varV", "avgA", "varA", "avgE", "varE")}
@@ -109,7 +132,9 @@ def voronoi_calc(
     for t in range(F):
         pos = traj.positions[t].astype(np.float64)
         box_l = float(traj.boxes[t][0])
-        if eng == "device":
+        if vol_b is not None:
+            vol, area = vol_b[t], area_b[t]
+        elif eng == "device":
             vol, area, n_cert = voronoi_volumes_hybrid(pos[heavy], box_l, nw)
             if t == 0:
                 _log_engine_once(

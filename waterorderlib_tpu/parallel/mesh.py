@@ -570,3 +570,58 @@ def sharded_msd(
         out_specs=P(),
         check_vma=False,
     )(pos, mask, boxes)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "num", "k", "k_search", "row_block", "eps", "win",
+        "topk_impl", "topk_seg", "cell_impl",
+    ),
+)
+def sharded_voronoi_tier1(
+    pos: jnp.ndarray,
+    box_ls: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    num: int,
+    k: int,
+    k_search: int,
+    row_block: int,
+    eps: float,
+    win: int,
+    topk_impl: str,
+    topk_seg: int,
+    cell_impl: str,
+):
+    """Tier-1 device Voronoi cells for a frame batch, frames sharded over
+    BOTH mesh axes (a per-frame tessellation is independent of every other
+    frame — pure data parallelism; the atom axis has no role here, so it
+    joins the frame partition instead of idling). No collectives are
+    needed: results stay frame-sharded and the caller gathers them.
+
+    pos: (F, P, 3) with F divisible by mesh.devices.size; box_ls: (F,)
+    cubic box edges. Returns (vol (F, num), area (F, num),
+    certified (F, num)) — the per-frame outputs of
+    surface.voronoi_device._tier1_pure.
+    """
+    from waterorderlib_tpu.surface import voronoi_device as vd
+
+    def local(pos_blk, bl_blk):
+        def one(args):
+            p, b = args
+            return vd._tier1_pure(
+                p, b, num, k, k_search, row_block, eps, win, topk_impl,
+                topk_seg, cell_impl,
+            )
+
+        return jax.lax.map(one, (pos_blk, bl_blk))
+
+    both = ("frames", "atoms")
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(both, None, None), P(both)),
+        out_specs=(P(both, None), P(both, None), P(both, None)),
+        check_vma=False,
+    )(pos, box_ls)

@@ -811,7 +811,20 @@ def voronoi_volumes_hybrid(
     area = np.asarray(out["area"], np.float64).copy()
     cert = np.asarray(out["certified"]).copy()
     tier_rows = [(np.arange(num), out)]
-    for tier in tiers[1:]:
+    vol, area, cert = _escalate_and_close(
+        points, box_l, num, vol, area, cert, tier_rows, tiers[1:],
+        row_block, fallback_k, cell_impl,
+    )
+    return vol, area, int(cert.sum())
+
+
+def _escalate_and_close(points, box_l, num, vol, area, cert, tier_rows,
+                        tiers_rest, row_block, fallback_k, cell_impl):
+    """Escalation ladder + host fallback shared by the per-frame and the
+    frame-batched hybrids: re-run the uncertified cells through the
+    remaining (k, k_search) tiers, then close any residue on the host.
+    Mutates vol/area/cert in place and returns them."""
+    for tier in tiers_rest:
         k2, ks2 = tier[:2]
         bad_idx = np.where(~cert)[0]
         if not len(bad_idx):
@@ -840,7 +853,162 @@ def voronoi_volumes_hybrid(
             if not ok:  # unseen candidates could cut: full host search
                 v_i, a_i, *_ = _host_cell_best(ext, points[i], fallback_k)
             vol[i], area[i] = v_i, a_i
-    return vol, area, int(cert.sum())
+    return vol, area, cert
+
+
+def _tier1_pure(points, box_l, num: int, k: int, k_search: int,
+                row_block: int, eps: float, win: int, topk_impl: str,
+                topk_seg: int, cell_impl: str):
+    """Traceable tier-1 cells for ONE frame: mirror construction + top-K
+    candidate search + cell moments + the exactness certificate, with no
+    host control flow (the graceful kernel-fallback ladder lives in
+    `_dispatch_cells`; batched callers pick the impls once and retry the
+    whole batch on failure). Returns (vol (num,), area (num,),
+    certified (num,))."""
+    pts = jnp.asarray(points)
+    ext = mirror_points_device(pts, box_l)
+    box = jnp.asarray([_NO_PBC_BOX] * 3, pts.dtype)
+    out = _cells_blocked(
+        pts[:num], ext, box, k, k_search, row_block, eps, win=win,
+        topk_impl=topk_impl, topk_seg=topk_seg, cell_impl=cell_impl,
+    )
+    d_far = out["nbr_dist"][:, -1]
+    cert = out["ok_shape"] & out["win_covered"] & (d_far >= 2.0 * out["r_cell"])
+    return out["vol"], out["area"], cert
+
+
+def voronoi_volumes_hybrid_frames(
+    pos_batch: np.ndarray,
+    box_ls: np.ndarray,
+    num: int,
+    tiers=DEFAULT_TIERS,
+    row_block: int = 256,
+    fallback_k: int = 96,
+    cell_impl: str = DEFAULT_CELL_IMPL,
+    mesh=None,
+):
+    """Frame-batched `voronoi_volumes_hybrid`: tier-1 cells for ALL frames
+    in one jitted call — per-frame tessellations are independent, so frames
+    are pure data parallelism (the TPU-native scale-out; reference loops
+    frames serially, orderParam_lib.py:1028) — optionally shard_mapped over
+    a device mesh. The escalation ladder + host fallback then run per frame
+    on the (few) uncertified cells, exactly as the per-frame hybrid.
+
+    pos_batch: (F, P, 3); box_ls: (F,) cubic box edges (may vary, NPT);
+    mesh: optional jax.sharding.Mesh — frames are sharded over BOTH mesh
+    axes (the atom axis has no role in a per-frame tessellation, so it
+    joins the frame partition instead of idling; F is padded to the device
+    count by repeating the last frame). Returns (vol (F, num),
+    area (F, num), n_certified_total).
+    """
+    import jax as _jax
+
+    from waterorderlib_tpu.ops.pallas.voronoi_cells import fits_voronoi_cells
+    from waterorderlib_tpu.ops.pallas.voronoi_topk import fits_voronoi_topk
+    from waterorderlib_tpu.utils.logging import get_logger, log_once
+
+    pos_batch = np.asarray(pos_batch)
+    box_ls = np.asarray(box_ls, np.float64).reshape(-1)
+    F, n_pts = pos_batch.shape[0], pos_batch.shape[1]
+    if cell_impl == "triple":
+        tiers = tuple(t for t in tiers if t[0] <= 64)
+    k0, ks0 = tiers[0][:2]
+    eps = 1e-10 if jnp.asarray(pos_batch[:1, :1]).dtype == jnp.float64 else 1e-4
+    p4 = 4 * n_pts
+    p4_pad = -(-p4 // 128) * 128
+    win = _suggest_win(n_pts, p4, float(np.min(box_ls)), ks0)
+    # static dispatch flags, chosen once for the whole batch exactly like
+    # _dispatch_cells picks them per call; a Mosaic/runtime failure logs
+    # and retries the WHOLE batch on the next (topk, cells) attempt
+    f32 = jnp.asarray(pos_batch[:1, :1]).dtype == jnp.float32
+    on_tpu_f32 = _jax.devices()[0].platform == "tpu" and f32 and num >= 256
+    seg = next(
+        (s for s in (768, 512) if fits_voronoi_topk(128, s, ks0, p4_pad, num=num)),
+        0,
+    )
+    attempts = []
+    if on_tpu_f32:
+        ti = "pallas" if (p4 >= 4096 and seg > 0) else "window"
+        if cell_impl == "clip" and fits_voronoi_cells(k0, ks0):
+            attempts += [(ti, "pallas"), (ti, "pallas_always")]
+        if (ti, cell_impl) not in attempts:
+            attempts.append((ti, cell_impl))
+    if ("window", cell_impl) not in attempts:
+        attempts.append(("window", cell_impl))
+
+    pb = jnp.asarray(pos_batch)
+    bl = jnp.asarray(box_ls, pb.dtype)
+    pad_f = 0
+    if mesh is not None:
+        nd = int(mesh.devices.size)
+        pad_f = (-F) % nd
+        if pad_f:
+            pb = jnp.concatenate([pb, jnp.repeat(pb[-1:], pad_f, axis=0)])
+            bl = jnp.concatenate([bl, jnp.repeat(bl[-1:], pad_f)])
+
+    vol_b = area_b = cert_b = None
+    for ti, ci in attempts:
+        try:
+            if mesh is not None:
+                from waterorderlib_tpu.parallel.mesh import sharded_voronoi_tier1
+
+                vol_j, area_j, cert_j = sharded_voronoi_tier1(
+                    pb, bl, mesh, num=num, k=k0, k_search=ks0,
+                    row_block=row_block, eps=float(eps), win=int(win),
+                    topk_impl=ti, topk_seg=seg, cell_impl=ci,
+                )
+            else:
+                vol_j, area_j, cert_j = _tier1_frames_local(
+                    pb, bl, num, k0, ks0, row_block, float(eps), int(win),
+                    ti, seg, ci,
+                )
+            _jax.block_until_ready(vol_j)
+            log_once(
+                ("voronoi_frames", ti, ci, mesh is not None),
+                "voronoi tier-1 frame batch: topk=%s cells=%s sharded=%s "
+                "(F=%d, n=%d)", ti, ci, mesh is not None, F, num,
+            )
+            vol_b = np.asarray(vol_j, np.float64)[:F]
+            area_b = np.asarray(area_j, np.float64)[:F]
+            cert_b = np.asarray(cert_j, bool)[:F]
+            break
+        except (ImportError, _jax.errors.JaxRuntimeError) as e:
+            get_logger().warning(
+                "voronoi frame batch failed (topk=%s cells=%s; %s: %s); "
+                "trying the next tier", ti, ci, type(e).__name__, e,
+            )
+    if vol_b is None:
+        raise RuntimeError("every voronoi tier-1 frame-batch attempt failed")
+
+    # per-frame escalation + host fallback on the uncertified residue; the
+    # batched tier-1 keeps no candidate payload (F x num x K_search would
+    # dominate HBM traffic), so uncertified rows re-search in the ladder
+    n_cert_total = 0
+    for t in range(F):
+        cert_t = cert_b[t].copy()
+        vol_b[t], area_b[t], cert_t = _escalate_and_close(
+            pos_batch[t], float(box_ls[t]), num, vol_b[t], area_b[t],
+            cert_t, [], tiers[1:], row_block, fallback_k, cell_impl,
+        )
+        n_cert_total += int(cert_t.sum())
+    return vol_b, area_b, n_cert_total
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num", "k", "ks", "row_block", "eps", "win", "ti", "seg", "ci"
+    ),
+)
+def _tier1_frames_local(pb, bl, num, k, ks, row_block, eps, win, ti, seg, ci):
+    """Unsharded frame batch: one jitted lax.map over frames (one compile,
+    one host sync for the whole batch)."""
+
+    def one(args):
+        p, b = args
+        return _tier1_pure(p, b, num, k, ks, row_block, eps, win, ti, seg, ci)
+
+    return jax.lax.map(one, (pb, bl))
 
 
 def _device_candidates(tier_rows, bad, ext, points):
@@ -856,7 +1024,13 @@ def _device_candidates(tier_rows, bad, ext, points):
         for p, r in enumerate(rows_idx):
             latest[int(r)] = (nbr_idx[p], nbr_dist[p], nbr_valid[p], wcov[p])
     for i in bad:
-        idxs, dvec, valid, covered = latest[int(i)]
+        entry = latest.get(int(i))
+        if entry is None:
+            # no tier computed this row's candidates (frame-batched tier-1
+            # keeps none and the ladder was empty): full host search
+            yield np.zeros((0, 3)), -np.inf, np.zeros(0, int)
+            continue
+        idxs, dvec, valid, covered = entry
         if not covered or not valid.any():
             # the z-window search may have missed nearer candidates: force
             # the full host search by failing the d_far certificate
