@@ -214,11 +214,58 @@ def sec_sasa():
         _dump()
 
 
+def sec_vframes():
+    """Frame-batched tier-1 (voronoi_volumes_hybrid_frames, mesh=None on
+    the single chip): amortizes per-frame dispatch/retrace vs the per-frame
+    hybrid loop. 12k atoms x 4 frames."""
+    from waterorderlib_tpu.surface import voronoi_device as vd
+
+    F, n = 4, 12288
+    pts0, box_l = _water(n)
+    pos = np.stack([
+        ((pts0 + np.float32(0.01 * f)) % np.float32(box_l)) for f in range(F)
+    ])
+    box_ls = np.full(F, box_l)
+
+    t0 = time.perf_counter()
+    vol, area, nc = vd.voronoi_volumes_hybrid_frames(pos, box_ls, n)
+    RESULTS["vframes12kx4_cold_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    vol, area, nc = vd.voronoi_volumes_hybrid_frames(
+        pos + np.float32(1e-5), box_ls, n
+    )
+    warm = time.perf_counter() - t0
+    RESULTS["vframes12kx4_warm_ms_per_frame"] = warm / F * 1e3
+    RESULTS["vframes12kx4_certified"] = int(nc)
+    print(
+        f"voronoi frames batch 12k x {F}: {warm/F*1e3:.0f} ms/frame warm "
+        f"({RESULTS['vframes12kx4_cold_s']:.1f} s cold), certified "
+        f"{nc}/{F*n}", flush=True,
+    )
+
+    # per-frame hybrid loop over the same 4 frames for the dispatch-overhead
+    # comparison (kernels warm from the batch run's tiers)
+    t0 = time.perf_counter()
+    tot_c = 0
+    for f in range(F):
+        _, _, c = vd.voronoi_volumes_hybrid(
+            pos[f] + np.float32(2e-5), box_l, n
+        )
+        tot_c += c
+    per = (time.perf_counter() - t0) / F
+    RESULTS["vframes12kx4_perframe_ms"] = per * 1e3
+    print(
+        f"per-frame hybrid same workload: {per*1e3:.0f} ms/frame "
+        f"(certified {tot_c}/{F*n})", flush=True,
+    )
+    _dump()
+
+
 if __name__ == "__main__":
     import jax
 
     print("devices:", jax.devices(), flush=True)
-    sections = sys.argv[1:] or ["voronoi", "willard", "sasa"]
+    sections = sys.argv[1:] or ["voronoi", "willard", "sasa", "vframes"]
     for s in sections:
         print(f"=== {s} ===", flush=True)
         try:
