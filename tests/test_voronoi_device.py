@@ -104,6 +104,34 @@ def test_hybrid_frames_matches_per_frame():
     np.testing.assert_allclose(bv.sum(axis=1), box_l**3, rtol=1e-3)
 
 
+def test_hybrid_frames_npt_varying_boxes():
+    """The frame batch handles per-frame box lengths (NPT): the box is a
+    traced per-frame input to the mirror construction, and the static
+    window is sized from the smallest box."""
+    from waterorderlib_tpu.surface.voronoi_device import (
+        voronoi_volumes_hybrid,
+        voronoi_volumes_hybrid_frames,
+    )
+
+    rs = np.random.RandomState(13)
+    n = 64
+    box0 = (n / 0.033456) ** (1.0 / 3.0)
+    scales = np.array([1.0, 0.97, 1.05])
+    pos = np.stack([
+        rs.uniform(0, box0 * s, (n, 3)).astype(np.float32) for s in scales
+    ])
+    box_ls = box0 * scales
+    bv, ba, bc = voronoi_volumes_hybrid_frames(pos, box_ls, n)
+    ref_c = 0
+    for t in range(len(scales)):
+        v, a, c = voronoi_volumes_hybrid(pos[t], float(box_ls[t]), n)
+        ref_c += c
+        np.testing.assert_allclose(bv[t], v, rtol=1e-4)
+        np.testing.assert_allclose(ba[t], a, rtol=1e-4)
+        np.testing.assert_allclose(bv[t].sum(), box_ls[t] ** 3, rtol=1e-3)
+    assert bc == ref_c
+
+
 def test_hybrid_contacts_parity_vs_host_f32():
     from waterorderlib_tpu.surface.voronoi import voronoi_contacts
     from waterorderlib_tpu.surface.voronoi_device import voronoi_contacts_hybrid
