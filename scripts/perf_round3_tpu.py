@@ -102,6 +102,31 @@ def sec_voronoi():
         print(f"voronoi 12k fused (40,96) FAILED: {e}", flush=True)
     _dump()
 
+    # large-N scaling: hybrid end to end at 131k atoms (the device path has
+    # no N^2 stage — z-window top-K + per-cell clip — so this should scale
+    # ~linearly from 12k; uncertified residue closes on the rescue tiers)
+    try:
+        pts_l, box_ll = _water(131072)
+        t0 = time.perf_counter()
+        vol_l, area_l, nc_l = vd.voronoi_volumes_hybrid(
+            pts_l, box_ll, len(pts_l)
+        )
+        RESULTS["voronoi131k_hybrid_cold_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        vol_l, area_l, nc_l = vd.voronoi_volumes_hybrid(
+            pts_l + np.float32(1e-5), box_ll, len(pts_l)
+        )
+        RESULTS["voronoi131k_hybrid_s"] = time.perf_counter() - t0
+        RESULTS["voronoi131k_certified"] = int(nc_l)
+        print(
+            f"voronoi 131k hybrid e2e: {RESULTS['voronoi131k_hybrid_s']:.2f} "
+            f"s/frame warm, certified {nc_l}/131072", flush=True,
+        )
+    except Exception as e:  # noqa: BLE001
+        RESULTS["voronoi131k_hybrid_s"] = f"failed: {type(e).__name__}: {e}"
+        print(f"voronoi 131k FAILED: {e}", flush=True)
+    _dump()
+
     # hybrid end to end (full dispatcher + tier ladder + host fallback),
     # default vs wide tier-1 ladder
     for tiers, tag in ((vd.DEFAULT_TIERS, "default"), (vd.WIDE_TIERS, "wide")):
