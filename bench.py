@@ -437,7 +437,42 @@ def breakdown():
     return out
 
 
+def probe_backend(timeout_s: int = 240):
+    """Initialize the jax backend in a TIME-BOUNDED subprocess before this
+    process touches jax at all. When the TPU relay is wedged, backend init
+    hangs indefinitely (BENCH_r03: rc=1 with a raw traceback; the dryrun's
+    r03 parent: rc=124) — the probe turns that into one structured,
+    parseable JSON error line instead.
+
+    Returns (ok, detail): detail is "<platform> <n_devices>" on success,
+    the failure reason otherwise."""
+    timeout_s = int(os.environ.get("WOL_BACKEND_PROBE_TIMEOUT", timeout_s))
+    code = "import jax; d = jax.devices(); print(d[0].platform, len(d))"
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"backend init timed out after {timeout_s}s (wedged relay?)"
+    if out.returncode != 0:
+        tail = (out.stderr or out.stdout).strip().splitlines()
+        return False, " | ".join(tail[-3:])[:500] or f"rc={out.returncode}"
+    return True, out.stdout.strip().splitlines()[-1]
+
+
 def main():
+    ok, detail = probe_backend()
+    if not ok:
+        print(json.dumps({
+            "metric": "qtet_frames_per_sec_per_chip",
+            "value": None,
+            "unit": f"frames/s (4096 waters, q_tet + histogram, F={N_FRAMES} batch)",
+            "vs_baseline": None,
+            "error": "tpu_backend_unavailable",
+            "detail": detail,
+        }))
+        return 0
     fps, spread, impl = headline()
     result = {
         "metric": "qtet_frames_per_sec_per_chip",

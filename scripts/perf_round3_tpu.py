@@ -287,6 +287,19 @@ def sec_vframes():
 
 
 if __name__ == "__main__":
+    # time-bounded backend probe BEFORE this process touches jax: a wedged
+    # relay must yield one structured JSON line, not an indefinite hang
+    # (same contract as bench.probe_backend)
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import probe_backend
+
+    ok, detail = probe_backend()
+    if not ok:
+        print(json.dumps({"error": "tpu_backend_unavailable", "detail": detail}))
+        sys.exit(0)
+
     import jax
 
     print("devices:", jax.devices(), flush=True)

@@ -308,6 +308,35 @@ def check_voronoi_mesh(df, da, tmp="/tmp/_sharded_voronoi_check"):
     print(f"voronoi mesh option {df}x{da}: ok")
 
 
+def check_contacts_mesh(df, da):
+    """contact_area_calc / hydrated_volume_calc with mesh= (frames-DP
+    batched tier-1 contacts) match the per-frame device path, and
+    chunk_frames= chunking matches the one-shot batch."""
+    import numpy as np
+
+    from waterorderlib_tpu.io.synthetic import make_water_box
+    from waterorderlib_tpu.drivers.voronoi_driver import (
+        contact_area_calc,
+        hydrated_volume_calc,
+    )
+
+    # F=5 exercises the repeat-last-frame padding (5 % 8 != 0)
+    top, traj = make_water_box(60, n_frames=5, seed=67, solute_elements=["C", "O"])
+    m = pmesh.make_mesh(df, da)
+    ra = contact_area_calc(top, traj, engine="device")
+    rb = contact_area_calc(top, traj, engine="device", mesh=m)
+    rc = contact_area_calc(top, traj, engine="device", chunk_frames=2)
+    for a, b, c in zip(ra, rb, rc):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(a, c, rtol=1e-6, atol=1e-9)
+    ha = hydrated_volume_calc(top, traj, engine="device")
+    hb = hydrated_volume_calc(top, traj, engine="device", mesh=m, chunk_frames=3)
+    for (ma, ca), (mb, cb) in zip(ha, hb):
+        np.testing.assert_allclose(ma, mb, rtol=1e-6)
+        np.testing.assert_allclose(ca, cb, rtol=1e-4, atol=1e-8)
+    print(f"contacts mesh option {df}x{da}: ok")
+
+
 def main():
     assert len(jax.devices()) >= 8, f"need 8 devices, have {len(jax.devices())}"
     check_mesh_shape(4, 2, n_frames=4, n_wat=128)
@@ -326,6 +355,7 @@ def main():
     check_chempot_mesh(4, 2)
     check_msd_mesh(4, 2)
     check_voronoi_mesh(4, 2)
+    check_contacts_mesh(4, 2)
     check_driver_mesh_option(4, 2)
     print("sharded checks: all ok")
 

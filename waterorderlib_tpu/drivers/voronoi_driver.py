@@ -180,6 +180,36 @@ def voronoi_calc(
     return mc("avgV"), mc("varV"), mc("avgA"), mc("varA"), mc("avgE"), mc("varE")
 
 
+def _contacts_frames_iter(eng, traj, heavy, sol_rows, mesh, chunk_frames):
+    """Per-frame results iterator through the frames-batched device contacts
+    path, or None when the per-frame path applies (host engine, or device
+    engine with neither mesh nor chunk_frames requested). Chunks bound the
+    device batch and the host-side tier-1 payload."""
+    if eng != "device" or (mesh is None and chunk_frames is None):
+        return None
+    from waterorderlib_tpu.surface.voronoi_device import (
+        voronoi_contacts_hybrid_frames,
+    )
+
+    F = traj.n_frames
+    cf = int(chunk_frames) if chunk_frames else F
+
+    def gen():
+        for c0 in range(0, F, cf):
+            c1 = min(c0 + cf, F)
+            pos_b = np.asarray(
+                [traj.positions[t] for t in range(c0, c1)], np.float64
+            )[:, heavy, :]
+            box_b = np.asarray(
+                [traj.boxes[t][0] for t in range(c0, c1)], np.float64
+            )
+            yield from voronoi_contacts_hybrid_frames(
+                pos_b, box_b, len(heavy), rows=sol_rows, mesh=mesh
+            )
+
+    return gen()
+
+
 def contact_area_calc(
     top_file,
     traj_file,
@@ -190,6 +220,8 @@ def contact_area_calc(
     hb_ang: float = 150.0,
     seed: int | None = 0,
     engine: str = "auto",
+    mesh=None,
+    chunk_frames: int | None = None,
 ):
     """Fraction of the solute's Voronoi surface in contact with
     phobic/philic/bound/wrap atoms (orderParam_lib.py:1794-1942).
@@ -200,7 +232,14 @@ def contact_area_calc(
     undo the double-sided hull.area convention (ref getTotArea :1899-1910);
     intra-solute-residue contacts are excluded from the target sums.
 
-    engine: "host" (Qhull) | "device" (certified TPU cells) | "auto"."""
+    engine: "host" (Qhull) | "device" (certified TPU cells) | "auto".
+
+    mesh: optional jax.sharding.Mesh (device engine only) — the solute
+    rows' tier-1 cells for the whole frame batch run in one shard_mapped
+    call with frames data-parallel; escalation/host fallback stay
+    per-frame. chunk_frames bounds the device batch (and host payload) to
+    that many frames per dispatch; implies the batched path even without
+    a mesh."""
     top, traj = _resolve_system(top_file, traj_file, stride)
     heavy = top.get_heavy_inds()
     wat_inds, wat_h, len_wat = top.get_wat_inds(wat_res)
@@ -241,13 +280,26 @@ def contact_area_calc(
 
     eng = _pick_engine(engine, len(heavy))
     _log_engine_once("contact_area_calc", eng)
-    if eng == "device":
+    batched = _contacts_frames_iter(
+        eng, traj, heavy, sol_rows, mesh, chunk_frames
+    )
+    if eng == "device" and batched is None:
         from waterorderlib_tpu.surface.voronoi_device import voronoi_contacts_hybrid
 
     for t in range(F):
         pos = traj.positions[t].astype(np.float64)
         box_l = float(traj.boxes[t][0])
-        if eng == "device":
+        if batched is not None:
+            contacts, _, _, _, n_cert = next(batched)
+            if t == 0:
+                _log_engine_once(
+                    "contact_area_calc.cert", "device",
+                    f" ({n_cert}/{len(sol_rows)} solute cells device-certified"
+                    f" on frame 0, frames batched"
+                    + (f" over {int(mesh.devices.size)} devices" if mesh is not None else "")
+                    + ")",
+                )
+        elif eng == "device":
             # only the solute atoms' contact rows are read below — restrict
             # the cell construction to them (~25x less work on solvated
             # systems; symmetrization fills their columns)
@@ -287,11 +339,16 @@ def hydrated_volume_calc(
     stride: int = 1,
     seed: int | None = 0,
     engine: str = "auto",
+    mesh=None,
+    chunk_frames: int | None = None,
 ):
     """Completed hydratedVolumeCalc (the reference's is WIP,
     orderParam_lib.py:1113-1267): per-frame total Voronoi cell volume and
     exposed (water-facing) area of the solute heavy atoms. Returns
-    ([mean vol, CI], [mean water-exposed area, CI])."""
+    ([mean vol, CI], [mean water-exposed area, CI]).
+
+    mesh / chunk_frames: frames-DP batching of the device tier-1 cells,
+    exactly as in `contact_area_calc`."""
     top, traj = _resolve_system(top_file, traj_file, stride)
     heavy = top.get_heavy_inds()
     sol_inds, *_ = top.get_sol_inds(wat_res)
@@ -302,12 +359,17 @@ def hydrated_volume_calc(
     areas = np.zeros(F)
     eng = _pick_engine(engine, len(heavy))
     _log_engine_once("hydrated_volume_calc", eng)
-    if eng == "device":
+    batched = _contacts_frames_iter(
+        eng, traj, heavy, sol_rows, mesh, chunk_frames
+    )
+    if eng == "device" and batched is None:
         from waterorderlib_tpu.surface.voronoi_device import voronoi_contacts_hybrid
     for t in range(F):
         pos = traj.positions[t].astype(np.float64)
         box_l = float(traj.boxes[t][0])
-        if eng == "device":
+        if batched is not None:
+            contacts, atom_area, wat_area, atom_vol, _ = next(batched)
+        elif eng == "device":
             contacts, atom_area, wat_area, atom_vol, _ = voronoi_contacts_hybrid(
                 pos[heavy], box_l, len(heavy), rows=sol_rows
             )

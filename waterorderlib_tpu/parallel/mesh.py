@@ -625,3 +625,55 @@ def sharded_voronoi_tier1(
         out_specs=(P(both, None), P(both, None), P(both, None)),
         check_vma=False,
     )(pos, box_ls)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "num", "k", "k_search", "row_block", "eps", "win",
+        "topk_impl", "topk_seg", "cell_impl",
+    ),
+)
+def sharded_voronoi_contacts_tier1(
+    pos: jnp.ndarray,
+    box_ls: jnp.ndarray,
+    sel: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    num: int,
+    k: int,
+    k_search: int,
+    row_block: int,
+    eps: float,
+    win: int,
+    topk_impl: str,
+    topk_seg: int,
+    cell_impl: str,
+):
+    """Contacts variant of `sharded_voronoi_tier1`: tier-1 cells WITH the
+    face payload for the selected center rows of every frame, frames
+    sharded over both mesh axes. `sel` (fixed-length row indices) is
+    replicated. Returns the `_CONTACTS_TIER1_KEYS` tuple with a leading
+    frame axis (F must divide by mesh.devices.size)."""
+    from waterorderlib_tpu.surface import voronoi_device as vd
+
+    def local(pos_blk, bl_blk, sel_rep):
+        def one(args):
+            p, b = args
+            return vd._tier1_contacts_full(
+                p, b, sel_rep, num, k, k_search, row_block, eps, win,
+                topk_impl, topk_seg, cell_impl,
+            )
+
+        return jax.lax.map(one, (pos_blk, bl_blk))
+
+    both = ("frames", "atoms")
+    f2 = P(both, None)      # (F, n_sel)
+    f3 = P(both, None, None)  # (F, n_sel, K)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(both, None, None), P(both), P(None)),
+        out_specs=(f2, f2, f2, f3, f3, f3, f3, f3, f2),
+        check_vma=False,
+    )(pos, box_ls, sel)

@@ -913,28 +913,9 @@ def voronoi_volumes_hybrid_frames(
     if cell_impl == "triple":
         tiers = tuple(t for t in tiers if t[0] <= 64)
     k0, ks0 = tiers[0][:2]
-    eps = 1e-10 if jnp.asarray(pos_batch[:1, :1]).dtype == jnp.float64 else 1e-4
-    p4 = 4 * n_pts
-    p4_pad = -(-p4 // 128) * 128
-    win = _suggest_win(n_pts, p4, float(np.min(box_ls)), ks0)
-    # static dispatch flags, chosen once for the whole batch exactly like
-    # _dispatch_cells picks them per call; a Mosaic/runtime failure logs
-    # and retries the WHOLE batch on the next (topk, cells) attempt
-    f32 = jnp.asarray(pos_batch[:1, :1]).dtype == jnp.float32
-    on_tpu_f32 = _jax.devices()[0].platform == "tpu" and f32 and num >= 256
-    seg = next(
-        (s for s in (768, 512) if fits_voronoi_topk(128, s, ks0, p4_pad, num=num)),
-        0,
+    eps, win, seg, attempts = _batch_static_config(
+        pos_batch, box_ls, k0, ks0, cell_impl, nc=num
     )
-    attempts = []
-    if on_tpu_f32:
-        ti = "pallas" if (p4 >= 4096 and seg > 0) else "window"
-        if cell_impl == "clip" and fits_voronoi_cells(k0, ks0):
-            attempts += [(ti, "pallas"), (ti, "pallas_always")]
-        if (ti, cell_impl) not in attempts:
-            attempts.append((ti, cell_impl))
-    if ("window", cell_impl) not in attempts:
-        attempts.append(("window", cell_impl))
 
     pb = jnp.asarray(pos_batch)
     bl = jnp.asarray(box_ls, pb.dtype)
@@ -1009,6 +990,200 @@ def _tier1_frames_local(pb, bl, num, k, ks, row_block, eps, win, ti, seg, ci):
         return _tier1_pure(p, b, num, k, ks, row_block, eps, win, ti, seg, ci)
 
     return jax.lax.map(one, (pb, bl))
+
+
+def _batch_static_config(pos_batch, box_ls, k0: int, ks0: int,
+                         cell_impl: str, nc: int):
+    """Static dispatch config for a frame-batched tier-1: (eps, win, seg,
+    attempts). Chosen once for the whole batch exactly like _dispatch_cells
+    picks them per call; a Mosaic/runtime failure logs and retries the
+    WHOLE batch on the next (topk, cells) attempt. `nc` is the per-frame
+    center count (the Pallas kernels only pay off above ~256 rows)."""
+    import jax as _jax
+
+    from waterorderlib_tpu.ops.pallas.voronoi_cells import fits_voronoi_cells
+    from waterorderlib_tpu.ops.pallas.voronoi_topk import fits_voronoi_topk
+
+    n_pts = pos_batch.shape[1]
+    eps = 1e-10 if jnp.asarray(pos_batch[:1, :1]).dtype == jnp.float64 else 1e-4
+    p4 = 4 * n_pts
+    p4_pad = -(-p4 // 128) * 128
+    win = _suggest_win(n_pts, p4, float(np.min(box_ls)), ks0)
+    f32 = jnp.asarray(pos_batch[:1, :1]).dtype == jnp.float32
+    on_tpu_f32 = _jax.devices()[0].platform == "tpu" and f32 and nc >= 256
+    seg = next(
+        (s for s in (768, 512) if fits_voronoi_topk(128, s, ks0, p4_pad, num=nc)),
+        0,
+    )
+    attempts = []
+    if on_tpu_f32:
+        ti = "pallas" if (p4 >= 4096 and seg > 0) else "window"
+        if cell_impl == "clip" and fits_voronoi_cells(k0, ks0):
+            attempts += [(ti, "pallas"), (ti, "pallas_always")]
+        if (ti, cell_impl) not in attempts:
+            attempts.append((ti, cell_impl))
+    if ("window", cell_impl) not in attempts:
+        attempts.append(("window", cell_impl))
+    return eps, win, seg, attempts
+
+
+_CONTACTS_TIER1_KEYS = (
+    "vol", "area", "certified", "face_area", "face_nverts",
+    "nbr_idx", "nbr_dist", "nbr_valid", "win_covered",
+)
+
+
+def _tier1_contacts_full(points, box_l, sel, num, k, k_search, row_block,
+                         eps, win, topk_impl, topk_seg, cell_impl):
+    """Traceable tier-1 cells WITH the face payload for ONE frame's
+    selected center rows (`sel`, fixed length): the contacts analog of
+    `_tier1_pure`. Returns the `_CONTACTS_TIER1_KEYS` tuple — everything
+    `_scatter_contact_rows` and `_device_candidates` need, all in
+    sel-row space."""
+    pts = jnp.asarray(points)
+    ext = mirror_points_device(pts, box_l)
+    box = jnp.asarray([_NO_PBC_BOX] * 3, pts.dtype)
+    centers = pts[sel]
+    out = _cells_blocked(
+        centers, ext, box, k, k_search, row_block, eps, win=win,
+        topk_impl=topk_impl, topk_seg=topk_seg, cell_impl=cell_impl,
+    )
+    d_far = out["nbr_dist"][:, -1]
+    out["certified"] = (
+        out["ok_shape"] & out["win_covered"] & (d_far >= 2.0 * out["r_cell"])
+    )
+    return tuple(out[kk] for kk in _CONTACTS_TIER1_KEYS)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num", "k", "ks", "row_block", "eps", "win", "ti", "seg", "ci"
+    ),
+)
+def _tier1_contacts_frames_local(pb, bl, sel, num, k, ks, row_block, eps,
+                                 win, ti, seg, ci):
+    """Unsharded contacts tier-1 frame batch: one jitted lax.map over
+    frames (one compile, one host sync for the whole batch)."""
+
+    def one(args):
+        p, b = args
+        return _tier1_contacts_full(
+            p, b, sel, num, k, ks, row_block, eps, win, ti, seg, ci
+        )
+
+    return jax.lax.map(one, (pb, bl))
+
+
+def voronoi_contacts_hybrid_frames(
+    pos_batch: np.ndarray,
+    box_ls: np.ndarray,
+    num: int,
+    rows=None,
+    tiers=DEFAULT_TIERS,
+    row_block: int = 256,
+    fallback_k: int = 96,
+    cell_impl: str = DEFAULT_CELL_IMPL,
+    mesh=None,
+):
+    """Frame-batched `voronoi_contacts_hybrid`: tier-1 cells (with face
+    payload) for ALL frames in one jitted call, optionally shard_mapped
+    over a device mesh with frames data-parallel — the same scale-out as
+    `voronoi_volumes_hybrid_frames` (the reference loops frames serially,
+    orderParam_lib.py:1870). The escalation ladder + host fallback +
+    contact-matrix assembly then run per frame on the host.
+
+    Generator: yields per-frame (contacts (num, num), atom_area (1, num),
+    wat_area (1, num), atom_vol (1, num), n_certified), frame by frame, so
+    callers never hold F contact matrices at once. `rows` restricts which
+    cells are computed (see `voronoi_contacts_hybrid`); unlike the volumes
+    batch, the tier-1 payload is kept (F x n_sel x K_search — affordable
+    because contact callers restrict rows to the solute)."""
+    import jax as _jax
+
+    from waterorderlib_tpu.utils.logging import get_logger, log_once
+
+    pos_batch = np.asarray(pos_batch)
+    box_ls = np.asarray(box_ls, np.float64).reshape(-1)
+    F, n_pts = pos_batch.shape[0], pos_batch.shape[1]
+    if cell_impl == "triple":
+        tiers = tuple(t for t in tiers if t[0] <= 64)  # see volumes hybrid
+    sel_rows = np.arange(num) if rows is None else np.asarray(rows, int)
+    n_want = len(sel_rows)
+    # bucket-pad the row subset (jit-cache stability, like voronoi_cells_device)
+    bucket = max(64, 1 << int(np.ceil(np.log2(max(n_want, 1)))))
+    padded_sel = np.concatenate(
+        [sel_rows, np.full(bucket - n_want, sel_rows[0] if n_want else 0, int)]
+    )
+    k0, ks0 = tiers[0][:2]
+    eps, win, seg, attempts = _batch_static_config(
+        pos_batch, box_ls, k0, ks0, cell_impl, nc=bucket
+    )
+    rb = min(row_block, bucket)
+
+    pb = jnp.asarray(pos_batch)
+    bl = jnp.asarray(box_ls, pb.dtype)
+    sel_j = jnp.asarray(padded_sel, jnp.int32)
+    pad_f = 0
+    if mesh is not None:
+        nd = int(mesh.devices.size)
+        pad_f = (-F) % nd
+        if pad_f:
+            pb = jnp.concatenate([pb, jnp.repeat(pb[-1:], pad_f, axis=0)])
+            bl = jnp.concatenate([bl, jnp.repeat(bl[-1:], pad_f)])
+
+    batch = None
+    for ti, ci in attempts:
+        try:
+            if mesh is not None:
+                from waterorderlib_tpu.parallel.mesh import (
+                    sharded_voronoi_contacts_tier1,
+                )
+
+                res = sharded_voronoi_contacts_tier1(
+                    pb, bl, sel_j, mesh, num=num, k=k0, k_search=ks0,
+                    row_block=rb, eps=float(eps), win=int(win),
+                    topk_impl=ti, topk_seg=seg, cell_impl=ci,
+                )
+            else:
+                res = _tier1_contacts_frames_local(
+                    pb, bl, sel_j, num, k0, ks0, rb, float(eps), int(win),
+                    ti, seg, ci,
+                )
+            _jax.block_until_ready(res[0])
+            log_once(
+                ("voronoi_contacts_frames", ti, ci, mesh is not None),
+                "voronoi contacts tier-1 frame batch: topk=%s cells=%s "
+                "sharded=%s (F=%d, rows=%d)", ti, ci, mesh is not None, F,
+                n_want,
+            )
+            batch = {
+                kk: np.asarray(v)[:F, :n_want]
+                for kk, v in zip(_CONTACTS_TIER1_KEYS, res)
+            }
+            break
+        except (ImportError, _jax.errors.JaxRuntimeError) as e:
+            get_logger().warning(
+                "voronoi contacts frame batch failed (topk=%s cells=%s; "
+                "%s: %s); trying the next tier", ti, ci, type(e).__name__, e,
+            )
+    if batch is None:
+        raise RuntimeError("every voronoi contacts tier-1 batch attempt failed")
+
+    for t in range(F):
+        out_t = {kk: batch[kk][t] for kk in _CONTACTS_TIER1_KEYS}
+        cert = np.asarray(out_t["certified"], bool).copy()
+        vol = np.zeros(num)
+        area = np.zeros(num)
+        vol[sel_rows] = np.asarray(out_t["vol"], np.float64)
+        area[sel_rows] = np.asarray(out_t["area"], np.float64)
+        contacts = np.zeros((num, num))
+        _scatter_contact_rows(contacts, out_t, sel_rows, cert, n_pts, num)
+        yield _contacts_escalate_and_close(
+            pos_batch[t], float(box_ls[t]), num, sel_rows, vol, area, cert,
+            contacts, [(sel_rows, out_t)], tiers[1:], row_block, fallback_k,
+            cell_impl,
+        )
 
 
 def _device_candidates(tier_rows, bad, ext, points):
@@ -1125,9 +1300,21 @@ def voronoi_contacts_hybrid(
     area[sel_rows] = np.asarray(out["area"], np.float64)
     contacts = np.zeros((num, num))
     _scatter_contact_rows(contacts, out, sel_rows, cert, P, num)
-    tier_rows = [(sel_rows, out)]
+    return _contacts_escalate_and_close(
+        points, box_l, num, sel_rows, vol, area, cert, contacts,
+        [(sel_rows, out)], tiers[1:], row_block, fallback_k, cell_impl,
+    )
 
-    for tier in tiers[1:]:
+
+def _contacts_escalate_and_close(points, box_l, num, sel_rows, vol, area,
+                                 cert, contacts, tier_rows, tiers_rest,
+                                 row_block, fallback_k, cell_impl):
+    """Escalation ladder + host fallback + contact-matrix closure shared by
+    the per-frame and frame-batched contact hybrids. `cert` is in sel_rows
+    space; vol/area/contacts are mutated in place. Returns the
+    `voronoi_contacts_hybrid` result tuple."""
+    P = len(points)
+    for tier in tiers_rest:
         k2, ks2 = tier[:2]
         bad_pos = np.where(~cert)[0]
         if not len(bad_pos):
