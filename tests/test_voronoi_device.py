@@ -644,3 +644,62 @@ def test_pallas_cells_wide_tier_interpret():
     np.testing.assert_allclose(
         np.asarray(out["vol"])[both], np.asarray(ref["vol"])[both], rtol=1e-5
     )
+
+
+def test_clip_certified_error_band():
+    """Multi-seed certified-f32-error regression (PERF.md round-3
+    re-measurement): every cell the clip builder CERTIFIES must match the
+    f64 Qhull oracle within the claimed ~1e-3 relative-volume band. The
+    triple builder measurably leaks up to 3.7e-3 through its certificates
+    — which is why it is demoted to a warned, non-default oracle."""
+    from waterorderlib_tpu.surface.voronoi import voronoi_volumes
+    from waterorderlib_tpu.surface.voronoi_device import voronoi_cells_device
+
+    worst = 0.0
+    n_cert = 0
+    for seed in (0, 1, 2):
+        rs = np.random.RandomState(seed)
+        n = 300
+        bl = (n / 0.033456) ** (1.0 / 3.0)
+        pts = rs.uniform(0, bl, (n, 3))
+        vh, _ = voronoi_volumes(pts, bl, n)
+        out = voronoi_cells_device(pts.astype(np.float32), bl, n)
+        cert = np.asarray(out["certified"]) & np.isfinite(vh)
+        vd_vol = np.asarray(out["vol"], np.float64)
+        rel = np.abs(vd_vol[cert] - vh[cert]) / vh[cert]
+        worst = max(worst, float(rel.max()))
+        n_cert += int(cert.sum())
+    assert n_cert > 300, n_cert  # the band claim needs a real sample
+    assert worst < 1.5e-3, f"clip certified error {worst:.2e} left the band"
+
+
+def test_triple_builder_warns_once(caplog):
+    """cell_impl='triple' must not silently carry its looser certified
+    bound: one WARNING per process, on every public entry point."""
+    import logging as _pylog
+
+    from waterorderlib_tpu.surface.voronoi_device import (
+        voronoi_cells_device,
+        voronoi_volumes_hybrid,
+    )
+    from waterorderlib_tpu.utils import logging as wlog
+
+    rs = np.random.RandomState(7)
+    n = 60
+    bl = (n / 0.033456) ** (1.0 / 3.0)
+    pts = rs.uniform(0, bl, (n, 3)).astype(np.float32)
+
+    wlog._LOGGED_ONCE.discard(("voronoi_triple_bound",))
+    with caplog.at_level(_pylog.WARNING, logger="waterorderlib_tpu"):
+        voronoi_cells_device(pts, bl, n, cell_impl="triple")
+    assert "looser certified" in caplog.text
+    caplog.clear()
+    with caplog.at_level(_pylog.WARNING, logger="waterorderlib_tpu"):
+        voronoi_volumes_hybrid(pts, bl, n, cell_impl="triple")
+    assert "looser certified" not in caplog.text  # once per process
+    # the default builder never warns
+    wlog._LOGGED_ONCE.discard(("voronoi_triple_bound",))
+    caplog.clear()
+    with caplog.at_level(_pylog.WARNING, logger="waterorderlib_tpu"):
+        voronoi_cells_device(pts, bl, n)
+    assert "looser certified" not in caplog.text

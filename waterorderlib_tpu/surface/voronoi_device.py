@@ -664,6 +664,28 @@ def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
     )
 
 
+def _warn_triple_once(cell_impl: str) -> None:
+    """The legacy `triple` builder's exactness certificate is measurably
+    softer than the default `clip` builder's: worst certified f32 relative
+    volume error 3.7e-3 across seeds vs 9.8e-4 (6 seeds x 500-atom liquid
+    boxes vs an f64 Qhull oracle — PERF.md round-3 multi-seed
+    re-measurement, regression-gated in
+    tests/test_voronoi_device.py::test_clip_certified_error_band). Warn
+    once per process so choosing it is never silent."""
+    if cell_impl == "triple":
+        from waterorderlib_tpu.utils.logging import log_once
+
+        log_once(
+            ("voronoi_triple_bound",),
+            "cell_impl='triple' carries a ~4x looser certified f32 error "
+            "bound than the default 'clip' builder (worst certified relative "
+            "volume error 3.7e-3 vs 9.8e-4 across seeds); 'triple' is kept "
+            "as a cross-check oracle — use the default for production "
+            "accuracy",
+            level="warning",
+        )
+
+
 def voronoi_cells_device(
     points,
     box_l: float,
@@ -688,6 +710,7 @@ def voronoi_cells_device(
     mirrored candidate set (original point = idx % P), r_cell (num,), and
     certified (num,) — True where the cell is provably exact.
     """
+    _warn_triple_once(cell_impl)
     pts = jnp.asarray(points)
     if eps is None:
         eps = 1e-10 if pts.dtype == jnp.float64 else 1e-4
@@ -797,6 +820,7 @@ def voronoi_volumes_hybrid(
     the reference (impossible here for in-box points: the mirror set always
     closes them, matching orderParam_lib.py:920-962 semantics).
     """
+    _warn_triple_once(cell_impl)
     points = np.asarray(points)
     if cell_impl == "triple":
         # the legacy triple builder is O(C(k,3)*k): the (96, 192)/(128, 256)
@@ -907,6 +931,7 @@ def voronoi_volumes_hybrid_frames(
     from waterorderlib_tpu.ops.pallas.voronoi_topk import fits_voronoi_topk
     from waterorderlib_tpu.utils.logging import get_logger, log_once
 
+    _warn_triple_once(cell_impl)
     pos_batch = np.asarray(pos_batch)
     box_ls = np.asarray(box_ls, np.float64).reshape(-1)
     F, n_pts = pos_batch.shape[0], pos_batch.shape[1]
@@ -1103,6 +1128,7 @@ def voronoi_contacts_hybrid_frames(
 
     from waterorderlib_tpu.utils.logging import get_logger, log_once
 
+    _warn_triple_once(cell_impl)
     pos_batch = np.asarray(pos_batch)
     box_ls = np.asarray(box_ls, np.float64).reshape(-1)
     F, n_pts = pos_batch.shape[0], pos_batch.shape[1]
@@ -1283,6 +1309,7 @@ def voronoi_contacts_hybrid(
     the solute atoms' rows — a ~25x saving on solvated systems); other rows
     of the returned arrays are zero. Default: all `num` rows.
     """
+    _warn_triple_once(cell_impl)
     points = np.asarray(points)
     if cell_impl == "triple":
         tiers = tuple(t for t in tiers if t[0] <= 64)  # see volumes hybrid
