@@ -8,8 +8,11 @@ Each case prints PASS/FAIL with the error class; correctness is asserted
 against the XLA oracles at f32 tolerance.
 """
 
+import os
 import sys
 import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -16,6 +16,16 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The TPU-plugin sitecustomize imports jax at interpreter startup, BEFORE
+# this conftest runs — jax's config captures JAX_PLATFORMS at import time,
+# so the env writes above are too late when the plugin is healthy (with a
+# wedged relay the backend fell back to CPU anyway, which masked this).
+# jax.config.update rewrites the captured value; the backend itself is not
+# yet initialized at conftest time, so XLA_FLAGS still takes effect.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(__file__))
 
 import numpy as np  # noqa: E402

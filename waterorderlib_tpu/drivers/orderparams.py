@@ -48,9 +48,12 @@ from waterorderlib_tpu.utils.logging import get_logger
 
 # Expected failure modes of a certified Pallas-kernel dispatch: a broken /
 # missing kernel module, or a Mosaic compile / VMEM-exhaustion error at
-# runtime (jax.errors.JaxRuntimeError == XlaRuntimeError). Anything else is
-# a bug and must propagate (VERDICT r2 item 5: no silent degradation).
-KERNEL_FALLBACK_ERRORS = (ImportError, jax.errors.JaxRuntimeError)
+# runtime (jax.errors.JaxRuntimeError == XlaRuntimeError). ValueError is
+# included because Mosaic LOWERING failures raise it (measured on-chip,
+# round 4), as do kernel-config guards (slab pad/window checks); every
+# fallback is still logged per tier. Anything else is a bug and must
+# propagate (VERDICT r2 item 5: no silent degradation).
+KERNEL_FALLBACK_ERRORS = (ImportError, ValueError, jax.errors.JaxRuntimeError)
 
 # shared once-per-key seen-set (utils.logging); aliased so tests can
 # clear/inspect which (driver, tier) pairs served calls this process
@@ -174,7 +177,10 @@ def _tet_core(wat_pos, boxes, masks, low_cut, high_cut, row_block, n_bins, lo, h
     # On TPU the fused Pallas kernel computes q for all waters per frame;
     # populations are masked reductions over the same values (identical by
     # construction — q per center is subset-independent).
-    use_pallas = jax.devices()[0].platform == "tpu" and nw >= 2 * row_block
+    use_pallas = (
+        jax.devices()[0].platform == "tpu"
+        and nw >= max(2 * row_block, 256)  # slab kernels tile rows at 128
+    )
     if use_pallas:
         try:
             from waterorderlib_tpu.ops.pallas import qtet2
@@ -305,7 +311,7 @@ def _three_body_core(
     # certificate fails or the system is too small to amortize the kernel.
     use_pallas = (
         jax.devices()[0].platform == "tpu"
-        and nw >= 2 * row_block
+        and nw >= max(2 * row_block, 256)  # slab row tile is 128
         and max_neighbors == 16
         and high_cut <= 4.5
     )
@@ -668,7 +674,7 @@ def _lsi_core(wat_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block
     # argmin can differ between candidate-list sizes on edge cases
     use_pallas = (
         jax.devices()[0].platform == "tpu"
-        and nw >= 2 * row_block
+        and nw >= max(2 * row_block, 256)  # slab row tile is 128
         and max_neighbors == 24
     )
     if use_pallas:
@@ -831,7 +837,7 @@ def _psi_core(end_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block
         )
     # TPU: fused psi6 kernel (Chebyshev cos/sin(6 theta), certified windows)
     use_pallas = (
-        jax.devices()[0].platform == "tpu" and ne >= 2 * row_block and max_neighbors == 24
+        jax.devices()[0].platform == "tpu" and ne >= max(2 * row_block, 256) and max_neighbors == 24
     )
     if use_pallas:
         try:

@@ -96,7 +96,7 @@ def _make_kernel(k: int, ks: int, pp: int, f: int, ba: int, eps: float,
                  dedup_mode: str = "auto"):
     kext = ks - k
 
-    def kernel(cols_ref, rows_ref, sscale_ref, flag_ref, ohi_ref, ohj_ref,
+    def kernel(cols_ref, rows_ref, ohi_ref, ohj_ref,
                pt_ref, sgn_ref, summ_ref, scal_ref, fa_ref, fn_ref, q7_ref,
                s8_ref):
         epsf = jnp.float32(eps)
@@ -108,8 +108,11 @@ def _make_kernel(k: int, ks: int, pp: int, f: int, ba: int, eps: float,
             rows = rows_ref[a]  # (8, 64): same quantities transposed
             rx, ry, rz = cols[:, 0:1], cols[:, 1:2], cols[:, 2:3]
             s_col, rl_col = cols[:, 3:4], cols[:, 4:5]
-            s_scale = sscale_ref[a]  # scalar (SMEM)
-            dedup_flag = flag_ref[a]
+            # per-atom scalars ride in cols' spare channels (slot 0): a
+            # rank-1 SMEM block of `ba` elements does not lower on Mosaic
+            # (rank-1 blocks must be full-array or multiples of 128)
+            s_scale = cols[0, 5]
+            dedup_flag = cols[0, 6]
             tol = epsf * s_scale
 
             ri = jnp.dot(rows, ohi_ref[:], preferred_element_type=jnp.float32)
@@ -331,14 +334,13 @@ def fits_voronoi_cells(k: int, ks: int) -> bool:
 
 
 @partial(jax.jit, static_argnames=("k", "eps", "ba", "interpret", "dedup_mode"))
-def _cells_pallas(cols, rows, s_scale, flags, k, eps, ba=8, interpret=False,
+def _cells_pallas(cols, rows, k, eps, ba=8, interpret=False,
                   dedup_mode="auto"):
     ks = cols.shape[1]
     pp, f, ohi, ohj, pt, sgn, summ = _kernel_tables(k, ks)
     num = cols.shape[0]
     n_blk = num // ba
     grid_blk = lambda i: (i, 0, 0)
-    blk1 = lambda i: (i,)
     out_blk = lambda i: (i, 0, 0, 0)
     full2 = lambda i: (0, 0)
     scal, fa, fn = pl.pallas_call(
@@ -347,8 +349,6 @@ def _cells_pallas(cols, rows, s_scale, flags, k, eps, ba=8, interpret=False,
         in_specs=[
             pl.BlockSpec((ba, ks, 8), grid_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((ba, 8, ks), grid_blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ba,), blk1, memory_space=pltpu.SMEM),
-            pl.BlockSpec((ba,), blk1, memory_space=pltpu.SMEM),
             pl.BlockSpec(ohi.shape, full2, memory_space=pltpu.VMEM),
             pl.BlockSpec(ohj.shape, full2, memory_space=pltpu.VMEM),
             pl.BlockSpec(pt.shape, full2, memory_space=pltpu.VMEM),
@@ -371,7 +371,7 @@ def _cells_pallas(cols, rows, s_scale, flags, k, eps, ba=8, interpret=False,
         ],
         interpret=interpret,
     )(
-        cols, rows, s_scale, flags, jnp.asarray(ohi), jnp.asarray(ohj),
+        cols, rows, jnp.asarray(ohi), jnp.asarray(ohj),
         jnp.asarray(pt), jnp.asarray(sgn), jnp.asarray(summ),
     )
     return scal.reshape(num, 8), fa.reshape(num, k), fn.reshape(num, k)
@@ -403,15 +403,18 @@ def voronoi_cells_pallas(
     cols = cols.at[:, :, 0:3].set(rel_all)
     cols = cols.at[:, :, 3].set(s_all)
     cols = cols.at[:, :, 4].set(r_len)
-    rows = jnp.swapaxes(cols, 1, 2)
     pad = (-num) % 8
     if pad:
         cols = jnp.concatenate([cols, jnp.zeros((pad, ks, 8), jnp.float32)])
-        rows = jnp.concatenate([rows, jnp.zeros((pad, 8, ks), jnp.float32)])
         s_scale = jnp.concatenate([s_scale, jnp.ones(pad, jnp.float32)])
         flags = jnp.concatenate([flags, jnp.zeros(pad, jnp.float32)])
+    # per-atom scalars ride in the spare channels of slot 0 (see kernel):
+    # rank-1 SMEM per-atom blocks do not lower on Mosaic
+    cols = cols.at[:, 0, 5].set(s_scale)
+    cols = cols.at[:, 0, 6].set(flags)
+    rows = jnp.swapaxes(cols, 1, 2)
     scal, fa, fn = _cells_pallas(
-        cols, rows, s_scale, flags, k, float(eps), interpret=interpret,
+        cols, rows, k, float(eps), interpret=interpret,
         dedup_mode=dedup_mode,
     )
     scal, fa, fn = scal[:num], fa[:num], fn[:num]

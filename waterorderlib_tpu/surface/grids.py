@@ -83,7 +83,8 @@ def density_grid(
                 window_x=wx, pad_x=px,
             )
             covered = bool(covered)
-        except (ImportError, jax.errors.JaxRuntimeError) as e:
+        except (ImportError, ValueError, jax.errors.JaxRuntimeError) as e:
+            # ValueError: Mosaic lowering failures raise it (round 4)
             from waterorderlib_tpu.utils.logging import get_logger
 
             get_logger().warning(

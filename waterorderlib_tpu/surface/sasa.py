@@ -13,6 +13,7 @@ spheres at once.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -169,11 +170,17 @@ def sasa_per_atom(
     pos = jnp.asarray(pos)
     rad = jnp.asarray(radii) + probe_radius
     box = jnp.asarray(box)
-    # TPU + f32: the fused MXU occlusion kernel (same certificate; the
-    # occlusion-boundary rounding differs at ~eps — see sasa_kernel.py)
+    # The fused MXU occlusion kernel is QUARANTINED behind an explicit
+    # opt-in: measured on the real chip (round 4) it is both slower than
+    # the XLA occluder-pruned sweep (64.8 vs 44.4 ms at 4k atoms, ~parity
+    # at 12k) and numerically wrong (max area diff 0.53 A^2 vs the XLA
+    # oracle at f32 tolerance — under investigation, likely MXU matmul
+    # precision on the occlusion boundary). Interpret-mode validation had
+    # passed; chip behavior wins.
     pruned_cert_failed = False
     if (
-        jax.devices()[0].platform == "tpu"
+        os.environ.get("WOL_SASA_MXU") == "1"
+        and jax.devices()[0].platform == "tpu"
         and pos.dtype == jnp.float32
         and pos.shape[0] >= 512
     ):
@@ -193,7 +200,8 @@ def sasa_per_atom(
             # topk_neighbors call with the same K) is shared with the XLA
             # pruned sweep — re-running that sweep would fail it again
             pruned_cert_failed = True
-        except (ImportError, jax.errors.JaxRuntimeError) as e:
+        except (ImportError, ValueError, jax.errors.JaxRuntimeError) as e:
+            # ValueError: Mosaic lowering failures raise it (round 4)
             from waterorderlib_tpu.utils.logging import get_logger
 
             get_logger().warning(

@@ -597,6 +597,13 @@ def _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=None,
     return out
 
 
+# Process-level blacklist of (topk_impl, cell_impl, k, k_search) combos
+# whose Pallas compile or run failed once this process: jax does not cache
+# failed lowerings, so without this every subsequent frame would re-pay the
+# failed compile (minutes per frame under the remote-compile relay).
+_PALLAS_BROKEN: set = set()
+
+
 def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
                     cell_impl=DEFAULT_CELL_IMPL):
     """Route the candidate search: the Pallas carried-top-K kernel on TPU
@@ -639,6 +646,10 @@ def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
         # if the auto kernel (lax.cond on the tangency detector) fails to
         # lower on this Mosaic version
         cell_tiers = ["pallas", "pallas_always"] + cell_tiers
+    tik = "pallas" if use_topk else "window"
+    cell_tiers = [
+        ci for ci in cell_tiers if (tik, ci, k, k_search) not in _PALLAS_BROKEN
+    ]
     for ci in cell_tiers if (use_topk or use_cells) else []:
         try:
             out = _cells_blocked(
@@ -652,7 +663,12 @@ def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
                 "pallas" if use_topk else "xla-window", ci, nc, k, k_search,
             )
             return out
-        except (ImportError, _jax.errors.JaxRuntimeError) as e:
+        except Exception as e:  # noqa: BLE001 — any Pallas trace/lower/run
+            # failure (Mosaic lowering raises ValueError, runtime raises
+            # JaxRuntimeError) must escalate to the XLA tier, never crash
+            # the production path (BENCH r4 post-mortem: a rank-1 SMEM
+            # lowering ValueError escaped this ladder)
+            _PALLAS_BROKEN.add((tik, ci, k, k_search))
             get_logger().warning(
                 "voronoi pallas path failed (topk=%s cells=%s; %s: %s); "
                 "trying the next tier",
@@ -978,7 +994,9 @@ def voronoi_volumes_hybrid_frames(
             area_b = np.asarray(area_j, np.float64)[:F]
             cert_b = np.asarray(cert_j, bool)[:F]
             break
-        except (ImportError, _jax.errors.JaxRuntimeError) as e:
+        except Exception as e:  # noqa: BLE001 — Mosaic lowering raises
+            # ValueError; anything from a pallas attempt escalates
+            _PALLAS_BROKEN.add((ti, ci, k0, ks0))
             get_logger().warning(
                 "voronoi frame batch failed (topk=%s cells=%s; %s: %s); "
                 "trying the next tier", ti, ci, type(e).__name__, e,
@@ -1049,6 +1067,9 @@ def _batch_static_config(pos_batch, box_ls, k0: int, ks0: int,
             attempts.append((ti, cell_impl))
     if ("window", cell_impl) not in attempts:
         attempts.append(("window", cell_impl))
+    attempts = [
+        a for a in attempts if (a[0], a[1], k0, ks0) not in _PALLAS_BROKEN
+    ] or [("window", cell_impl)]
     return eps, win, seg, attempts
 
 
@@ -1188,7 +1209,9 @@ def voronoi_contacts_hybrid_frames(
                 for kk, v in zip(_CONTACTS_TIER1_KEYS, res)
             }
             break
-        except (ImportError, _jax.errors.JaxRuntimeError) as e:
+        except Exception as e:  # noqa: BLE001 — Mosaic lowering raises
+            # ValueError; anything from a pallas attempt escalates
+            _PALLAS_BROKEN.add((ti, ci, k0, ks0))
             get_logger().warning(
                 "voronoi contacts frame batch failed (topk=%s cells=%s; "
                 "%s: %s); trying the next tier", ti, ci, type(e).__name__, e,
