@@ -268,7 +268,11 @@ def _make_kernel(k: int, ks: int, pp: int, f: int, ba: int, eps: float,
                     taken = taken | (dup & oeok & (e_in_face >= d))
                 return face_sums(eok & ~taken)
 
-            if dedup_mode == "always":
+            if dedup_mode == "never":
+                # DIAGNOSTIC ONLY (not certificate-safe at boundaries):
+                # isolates compiler failures to the dedup stage
+                vax, vay, vaz, gx, gy, gz, nedges, raw_area = sums0
+            elif dedup_mode == "always":
                 # no data-dependent control flow: Mosaic-safe variant the
                 # dispatcher retries with if the auto kernel fails to lower
                 vax, vay, vaz, gx, gy, gz, nedges, raw_area = dedup(None)
