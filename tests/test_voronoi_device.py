@@ -703,3 +703,49 @@ def test_triple_builder_warns_once(caplog):
     with caplog.at_level(_pylog.WARNING, logger="waterorderlib_tpu"):
         voronoi_cells_device(pts, bl, n)
     assert "looser certified" not in caplog.text
+
+
+def test_mirror_pruning_certified_exact():
+    """Depth-pruned mirror search (mirror_points_pruned) must not change
+    any certified result: co-certified rows bit-match the full-set search
+    (volumes AND full-layout neighbor ids), every excluded mirror is
+    provably beyond margin_eff, and the hybrid still tiles the box."""
+    import jax.numpy as jnp
+
+    from waterorderlib_tpu.surface import voronoi_device as vd
+
+    n = 1024
+    pts, box_l = _water_points(n=n, jitter=0.6, seed=3)
+    pts = pts.astype(np.float32)
+
+    budget = vd._suggest_mirror_budget(n, float(box_l), 64)
+    assert 0 < budget < 3 * n
+    ext, ext_map, margin = vd.mirror_points_pruned(
+        jnp.asarray(pts), box_l, budget
+    )
+    assert ext.shape == (n + budget, 3)
+    # margin property: the depth of every EXCLUDED mirror >= margin_eff
+    depth = np.minimum(pts, box_l - pts)  # (n, 3)
+    all_depths = np.sort(depth.T.reshape(-1))
+    assert float(all_depths[budget - 1]) <= float(margin) + 1e-6
+    # selected slots really are the shallowest mirrors
+    sel_depth = depth.T.reshape(-1)[np.asarray(ext_map[n:]) - n]
+    assert sel_depth.max() <= float(margin) + 1e-6
+
+    o_full = vd.voronoi_cells_device(pts, box_l, n, prune_mirrors=False)
+    o_prun = vd.voronoi_cells_device(pts, box_l, n, prune_mirrors=True)
+    cf = np.asarray(o_full["certified"])
+    cp = np.asarray(o_prun["certified"])
+    both = cf & cp
+    assert both.sum() >= 0.5 * n
+    assert np.array_equal(
+        np.asarray(o_full["vol"])[both], np.asarray(o_prun["vol"])[both]
+    )
+    assert np.array_equal(
+        np.asarray(o_full["nbr_idx"])[both], np.asarray(o_prun["nbr_idx"])[both]
+    )
+    # pruned-only extra key: the margin payload for host-fallback capping
+    assert "prune_margin" in o_prun and "prune_margin" not in o_full
+
+    vol, area, ncert = vd.voronoi_volumes_hybrid(pts, box_l, n)
+    assert abs(vol.sum() - box_l**3) / box_l**3 < 5e-3

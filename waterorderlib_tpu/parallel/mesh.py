@@ -576,7 +576,7 @@ def sharded_msd(
     jax.jit,
     static_argnames=(
         "mesh", "num", "k", "k_search", "row_block", "eps", "win",
-        "topk_impl", "topk_seg", "cell_impl",
+        "topk_impl", "topk_seg", "cell_impl", "mirror_budget",
     ),
 )
 def sharded_voronoi_tier1(
@@ -593,6 +593,7 @@ def sharded_voronoi_tier1(
     topk_impl: str,
     topk_seg: int,
     cell_impl: str,
+    mirror_budget: int = 0,
 ):
     """Tier-1 device Voronoi cells for a frame batch, frames sharded over
     BOTH mesh axes (a per-frame tessellation is independent of every other
@@ -612,7 +613,7 @@ def sharded_voronoi_tier1(
             p, b = args
             return vd._tier1_pure(
                 p, b, num, k, k_search, row_block, eps, win, topk_impl,
-                topk_seg, cell_impl,
+                topk_seg, cell_impl, mirror_budget,
             )
 
         return jax.lax.map(one, (pos_blk, bl_blk))
@@ -631,7 +632,7 @@ def sharded_voronoi_tier1(
     jax.jit,
     static_argnames=(
         "mesh", "num", "k", "k_search", "row_block", "eps", "win",
-        "topk_impl", "topk_seg", "cell_impl",
+        "topk_impl", "topk_seg", "cell_impl", "mirror_budget",
     ),
 )
 def sharded_voronoi_contacts_tier1(
@@ -649,6 +650,7 @@ def sharded_voronoi_contacts_tier1(
     topk_impl: str,
     topk_seg: int,
     cell_impl: str,
+    mirror_budget: int = 0,
 ):
     """Contacts variant of `sharded_voronoi_tier1`: tier-1 cells WITH the
     face payload for the selected center rows of every frame, frames
@@ -662,7 +664,7 @@ def sharded_voronoi_contacts_tier1(
             p, b = args
             return vd._tier1_contacts_full(
                 p, b, sel_rep, num, k, k_search, row_block, eps, win,
-                topk_impl, topk_seg, cell_impl,
+                topk_impl, topk_seg, cell_impl, mirror_budget,
             )
 
         return jax.lax.map(one, (pos_blk, bl_blk))
@@ -674,6 +676,6 @@ def sharded_voronoi_contacts_tier1(
         local,
         mesh=mesh,
         in_specs=(P(both, None, None), P(both), P(None)),
-        out_specs=(f2, f2, f2, f3, f3, f3, f3, f3, f2),
+        out_specs=(f2, f2, f2, f3, f3, f3, f3, f3, f2, f2),
         check_vma=False,
     )(pos, box_ls, sel)

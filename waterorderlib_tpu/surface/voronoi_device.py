@@ -123,6 +123,83 @@ def mirror_points_device(points: jnp.ndarray, box_l) -> jnp.ndarray:
     return jnp.concatenate(out, axis=0)
 
 
+def _suggest_win_subset(
+    n_real: int, box_l: float, k_search: int, n_rows: int
+) -> int:
+    """Window size for an ESCALATION subset's top-K search (full 4P mirror
+    set). The subset's rows are scattered over the box, so each z-sorted
+    128-row search block spans ~128/n_rows of the z range; the window must
+    cover that span plus the 2*1.6*d_K reach on each side. Returns 0 (full
+    scan) when the window would not actually shrink the scan.
+
+    Replaces the previous always-full-scan escalation policy, which made
+    the ladder — not tier-1 — the dominant e2e cost at 12k (lax.top_k over
+    all 49k candidates at k_search=96..256 for every tier)."""
+    if n_real <= 0 or box_l <= 0:
+        return 0
+    rho = n_real / box_l**3
+    d_k = (3.0 * k_search / (4.0 * np.pi * max(rho, 1e-12))) ** (1.0 / 3.0)
+    span = min(1.0, 128.0 / max(n_rows, 128))
+    frac = min(1.0, span + 2.0 * 1.6 * d_k / box_l)
+    p4 = 4 * n_real
+    slab = n_real + (2.0 / 3.0) * (p4 - n_real)
+    win = int(-(-(1.07 * slab * frac) // 128) * 128)
+    if win >= 0.75 * p4:
+        return 0
+    return win
+
+
+def _suggest_mirror_budget(n_real: int, box_l: float, k_search: int) -> int:
+    """Mirror-slot budget for `mirror_points_pruned`, or 0 to keep the full
+    4P set. Sized so the effective margin (depth of the shallowest EXCLUDED
+    mirror) lands around 1.35x the expected k_search-th neighbor distance —
+    comfortably above 2*R_cell for every liquid-like cell, so pruning costs
+    certificates only on cells the escalation ladder already handles."""
+    if n_real <= 0 or box_l <= 0:
+        return 0
+    rho = n_real / box_l**3
+    d_k = (3.0 * k_search / (4.0 * np.pi * max(rho, 1e-12))) ** (1.0 / 3.0)
+    frac = min(1.0, 2.0 * 1.35 * d_k / box_l)
+    m = int(-(-(3.0 * n_real * frac) // 128) * 128)
+    # pruning must buy a real reduction to be worth the certificate risk
+    if m >= 0.7 * 3 * n_real:
+        return 0
+    return m
+
+
+def mirror_points_pruned(points: jnp.ndarray, box_l, budget: int):
+    """Pruned mirror construction: points followed by the `budget`
+    shallowest of the 3P single-axis reflections (depth = the source
+    point's distance from the reflecting face, which lower-bounds the
+    mirror's distance from EVERY in-box point).
+
+    Returns (ext (P+budget, 3), ext_map (P+budget,) int32 mapping each slot
+    to its index in the FULL 4P `mirror_points_device` layout, margin_eff) —
+    margin_eff is the depth of the deepest selected mirror, so every
+    excluded mirror lies at distance >= margin_eff from every in-box point:
+    a cell with 2*R_cell <= margin_eff is provably unaffected by the
+    exclusions (same argument as the d_K >= 2*R_cell certificate).
+    """
+    box_l = jnp.asarray(box_l, points.dtype)
+    p_real = points.shape[0]
+    hi = points >= 0.5 * box_l
+    near = jnp.where(hi, 2.0 * box_l - points, -points)
+    depth = jnp.minimum(points, box_l - points)  # (P, 3) per-axis face depth
+    mirrors = [points.at[:, ax].set(near[:, ax]) for ax in range(3)]
+    mir = jnp.concatenate(mirrors, axis=0)  # (3P, 3) — index ax*P + i
+    dep = jnp.transpose(depth).reshape(-1)  # (3P,) matching ax*P + i
+    neg_top, sel = jax.lax.top_k(-dep, budget)
+    margin_eff = -neg_top[-1]
+    ext = jnp.concatenate([points, mir[sel]], axis=0)
+    ext_map = jnp.concatenate(
+        [
+            jnp.arange(p_real, dtype=jnp.int32),
+            (p_real + sel).astype(jnp.int32),
+        ]
+    )
+    return ext, ext_map, margin_eff
+
+
 def _cell_moments(rel_all, slot_ok, k: int, eps: float):
     """Moments of one Voronoi cell.
 
@@ -508,7 +585,13 @@ def _suggest_win(n_real: int, p4: int, box_l: float, k_search: int) -> int:
     # fails are rescued by the tier ladder, so the safety factor trades a
     # few escalations for a much smaller scan
     frac = min(1.0, 2.0 * 1.6 * d_k / box_l)
-    win = int(-(-(3.2 * n_real * frac) // 128) * 128)
+    # expected candidates in a z-slab of fractional thickness `frac`:
+    # originals + the x/y mirrors (which share their source's z — about
+    # 2/3 of the mirror population, pruned or not), with a 7% fudge for
+    # the z-face mirror pile-up; for the full 4P set this reduces to the
+    # measured 3.2 * n_real coefficient
+    slab_density = n_real + (2.0 / 3.0) * max(p4 - n_real, 0)
+    win = int(-(-(1.07 * slab_density * frac) // 128) * 128)
     win = max(win, min(p4, 1024))
     # a window covering most of the set saves nothing and only risks
     # coverage vetoes — scan everything instead
@@ -517,12 +600,14 @@ def _suggest_win(n_real: int, p4: int, box_l: float, k_search: int) -> int:
     return win
 
 
-@partial(jax.jit, static_argnames=("k", "k_search", "row_block", "eps", "win", "topk_impl", "topk_seg", "cell_impl"))
+@partial(jax.jit, static_argnames=("k", "k_search", "row_block", "eps", "win", "topk_impl", "topk_seg", "cell_impl", "n_real"))
 def _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=None,
-                   topk_impl="window", topk_seg=768, cell_impl=DEFAULT_CELL_IMPL):
+                   topk_impl="window", topk_seg=768, cell_impl=DEFAULT_CELL_IMPL,
+                   n_real=None):
     """cell_impl: "clip" (default) / "triple" XLA builders, or "pallas" —
     the fused TPU kernel (ops/pallas/voronoi_cells.py), contract-identical
-    to "clip"."""
+    to "clip". n_real: number of original (non-mirror) points leading ext
+    (None = the full 4P mirror layout, where it is ext.shape[0] // 4)."""
     if topk_impl == "pallas":
         from waterorderlib_tpu.ops.pallas.voronoi_topk import voronoi_topk_pallas
 
@@ -555,7 +640,8 @@ def _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=None,
         ) * jnp.asarray(_FAR, rel_all.dtype)
         rel_parked = jnp.where(nl.valid[..., None], rel_all, park)
         # mirror candidates among the build planes force endpoint dedup
-        is_boundary = jnp.any(nl.idx[:, :k] >= ext.shape[0] // 4, axis=1)
+        mirror_start = ext.shape[0] // 4 if n_real is None else n_real
+        is_boundary = jnp.any(nl.idx[:, :k] >= mirror_start, axis=1)
         out = voronoi_cells_pallas(
             rel_parked, nl.valid, is_boundary, k, eps,
             dedup_mode="always" if cell_impl == "pallas_always" else "auto",
@@ -605,7 +691,7 @@ _PALLAS_BROKEN: set = set()
 
 
 def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
-                    cell_impl=DEFAULT_CELL_IMPL):
+                    cell_impl=DEFAULT_CELL_IMPL, n_real=None):
     """Route the candidate search: the Pallas carried-top-K kernel on TPU
     for full-frame tiers (the XLA lax.top_k stage was the largest single
     cost of the device tessellation), the XLA windowed/full scans
@@ -655,7 +741,7 @@ def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
             out = _cells_blocked(
                 centers, ext, box, k, k_search, row_block, eps, win=win,
                 topk_impl="pallas" if use_topk else "window", topk_seg=seg,
-                cell_impl=ci,
+                cell_impl=ci, n_real=n_real,
             )
             _jax.block_until_ready(out["vol"])
             get_logger().info(
@@ -676,7 +762,7 @@ def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
             )
     return _cells_blocked(
         centers, ext, box, k, k_search, row_block, eps, win=win,
-        cell_impl=cell_impl,
+        cell_impl=cell_impl, n_real=n_real,
     )
 
 
@@ -713,6 +799,7 @@ def voronoi_cells_device(
     centers_idx=None,
     win: int | None = None,
     cell_impl: str = DEFAULT_CELL_IMPL,
+    prune_mirrors: bool | None = None,
 ):
     """Per-cell Voronoi moments for the first `num` points on device.
 
@@ -721,10 +808,16 @@ def voronoi_cells_device(
     planes k..k_search provably do not cut the built cell AND that no point
     beyond the k_search-th could (d_{k_search} >= 2 * R_cell).
 
+    prune_mirrors (None = auto for full-frame calls on >= 2048 points):
+    search a depth-pruned mirror set (`mirror_points_pruned`) instead of
+    the full 4P one — ~2x less top-K work; the certificate additionally
+    requires 2*R_cell <= margin_eff, so exactness is unchanged and the few
+    extra uncertified rows ride the escalation ladder.
+
     Returns a dict of jnp arrays: vol (num,), area (num,), face_area
     (num, k), face_nverts (num, k), nbr_idx (num, k_search) indices into the
-    mirrored candidate set (original point = idx % P), r_cell (num,), and
-    certified (num,) — True where the cell is provably exact.
+    FULL mirrored candidate set (original point = idx % P), r_cell (num,),
+    and certified (num,) — True where the cell is provably exact.
     """
     _warn_triple_once(cell_impl)
     pts = jnp.asarray(points)
@@ -732,7 +825,18 @@ def voronoi_cells_device(
         eps = 1e-10 if pts.dtype == jnp.float64 else 1e-4
     if k_search < k:
         raise ValueError(f"k_search={k_search} must be >= k={k}")
-    ext = mirror_points_device(pts, box_l)
+    p_real = int(pts.shape[0])
+    use_prune = (
+        prune_mirrors
+        if prune_mirrors is not None
+        else (centers_idx is None and p_real >= 2048)
+    )
+    ext_map = margin_eff = None
+    budget = _suggest_mirror_budget(p_real, float(box_l), k_search)
+    if use_prune and budget > 0:
+        ext, ext_map, margin_eff = mirror_points_pruned(pts, box_l, budget)
+    else:
+        ext = mirror_points_device(pts, box_l)
     n_want = None
     if centers_idx is None:
         centers = pts[:num]
@@ -759,11 +863,19 @@ def voronoi_cells_device(
     out = _dispatch_cells(
         centers, ext, box, k, k_search, min(row_block, max(1, nc)), float(eps),
         win, cell_impl=cell_impl,
+        n_real=p_real if ext_map is not None else None,
     )
     d_far = out["nbr_dist"][:, -1]  # +inf when fewer than K candidates exist
-    out["certified"] = (
-        out["ok_shape"] & out["win_covered"] & (d_far >= 2.0 * out["r_cell"])
-    )
+    cert = out["ok_shape"] & out["win_covered"] & (d_far >= 2.0 * out["r_cell"])
+    if ext_map is not None:
+        # excluded mirrors are all at >= margin_eff: same cut argument as d_K
+        cert = cert & (2.0 * out["r_cell"] <= margin_eff)
+        # restore full-4P-layout neighbor ids for every downstream consumer
+        out["nbr_idx"] = ext_map[out["nbr_idx"]]
+        # host-fallback consumers must cap the unseen-candidate bound at the
+        # pruning margin (excluded mirrors can be nearer than d_far)
+        out["prune_margin"] = jnp.full_like(out["r_cell"], margin_eff)
+    out["certified"] = cert
     if n_want is not None:  # drop bucket padding
         out = {kk: v[:n_want] for kk, v in out.items()}
     return out
@@ -864,15 +976,22 @@ def _escalate_and_close(points, box_l, num, vol, area, cert, tier_rows,
     frame-batched hybrids: re-run the uncertified cells through the
     remaining (k, k_search) tiers, then close any residue on the host.
     Mutates vol/area/cert in place and returns them."""
+    is_last = lambda t: t is tiers_rest[-1]
     for tier in tiers_rest:
         k2, ks2 = tier[:2]
         bad_idx = np.where(~cert)[0]
         if not len(bad_idx):
             break
+        # intermediate tiers: scatter-aware z-window (coverage-vetoed rows
+        # just ride to the next tier); the LAST tier full-scans so a
+        # window miss can never force a host fallback
+        win_t = 0 if is_last(tier) else _suggest_win_subset(
+            len(points), float(box_l), ks2, len(bad_idx)
+        )
         out2 = voronoi_cells_device(
             points, box_l, num, k=k2, k_search=ks2,
             row_block=min(row_block, max(1, len(bad_idx))), centers_idx=bad_idx,
-            win=0,  # small subset: full scan beats a coverage-vetoed window
+            win=win_t,
             cell_impl=cell_impl,
         )
         tier_rows.append((bad_idx, out2))
@@ -898,22 +1017,29 @@ def _escalate_and_close(points, box_l, num, vol, area, cert, tier_rows,
 
 def _tier1_pure(points, box_l, num: int, k: int, k_search: int,
                 row_block: int, eps: float, win: int, topk_impl: str,
-                topk_seg: int, cell_impl: str):
+                topk_seg: int, cell_impl: str, mirror_budget: int = 0):
     """Traceable tier-1 cells for ONE frame: mirror construction + top-K
     candidate search + cell moments + the exactness certificate, with no
     host control flow (the graceful kernel-fallback ladder lives in
     `_dispatch_cells`; batched callers pick the impls once and retry the
-    whole batch on failure). Returns (vol (num,), area (num,),
-    certified (num,))."""
+    whole batch on failure). mirror_budget > 0 searches the depth-pruned
+    mirror set (see `mirror_points_pruned`). Returns (vol (num,),
+    area (num,), certified (num,))."""
     pts = jnp.asarray(points)
-    ext = mirror_points_device(pts, box_l)
+    if mirror_budget > 0:
+        ext, _, margin_eff = mirror_points_pruned(pts, box_l, mirror_budget)
+    else:
+        ext = mirror_points_device(pts, box_l)
     box = jnp.asarray([_NO_PBC_BOX] * 3, pts.dtype)
     out = _cells_blocked(
         pts[:num], ext, box, k, k_search, row_block, eps, win=win,
         topk_impl=topk_impl, topk_seg=topk_seg, cell_impl=cell_impl,
+        n_real=pts.shape[0] if mirror_budget > 0 else None,
     )
     d_far = out["nbr_dist"][:, -1]
     cert = out["ok_shape"] & out["win_covered"] & (d_far >= 2.0 * out["r_cell"])
+    if mirror_budget > 0:
+        cert = cert & (2.0 * out["r_cell"] <= margin_eff)
     return out["vol"], out["area"], cert
 
 
@@ -954,7 +1080,7 @@ def voronoi_volumes_hybrid_frames(
     if cell_impl == "triple":
         tiers = tuple(t for t in tiers if t[0] <= 64)
     k0, ks0 = tiers[0][:2]
-    eps, win, seg, attempts = _batch_static_config(
+    eps, win, seg, attempts, mb = _batch_static_config(
         pos_batch, box_ls, k0, ks0, cell_impl, nc=num
     )
 
@@ -978,11 +1104,12 @@ def voronoi_volumes_hybrid_frames(
                     pb, bl, mesh, num=num, k=k0, k_search=ks0,
                     row_block=row_block, eps=float(eps), win=int(win),
                     topk_impl=ti, topk_seg=seg, cell_impl=ci,
+                    mirror_budget=mb,
                 )
             else:
                 vol_j, area_j, cert_j = _tier1_frames_local(
                     pb, bl, num, k0, ks0, row_block, float(eps), int(win),
-                    ti, seg, ci,
+                    ti, seg, ci, mb,
                 )
             _jax.block_until_ready(vol_j)
             log_once(
@@ -990,9 +1117,9 @@ def voronoi_volumes_hybrid_frames(
                 "voronoi tier-1 frame batch: topk=%s cells=%s sharded=%s "
                 "(F=%d, n=%d)", ti, ci, mesh is not None, F, num,
             )
-            vol_b = np.asarray(vol_j, np.float64)[:F]
-            area_b = np.asarray(area_j, np.float64)[:F]
-            cert_b = np.asarray(cert_j, bool)[:F]
+            vol_b = np.asarray(vol_j, np.float64)[:F].copy()
+            area_b = np.asarray(area_j, np.float64)[:F].copy()
+            cert_b = np.asarray(cert_j, bool)[:F].copy()
             break
         except Exception as e:  # noqa: BLE001 — Mosaic lowering raises
             # ValueError; anything from a pallas attempt escalates
@@ -1004,15 +1131,19 @@ def voronoi_volumes_hybrid_frames(
     if vol_b is None:
         raise RuntimeError("every voronoi tier-1 frame-batch attempt failed")
 
-    # per-frame escalation + host fallback on the uncertified residue; the
-    # batched tier-1 keeps no candidate payload (F x num x K_search would
-    # dominate HBM traffic), so uncertified rows re-search in the ladder
+    # cross-frame batched escalation: ONE dispatch per tier for the whole
+    # batch (the per-frame ladder paid F dispatches per tier — at a
+    # 25-40 ms relay dispatch floor that dominated the batched path), then
+    # a host close per frame from the last tier's candidate payload
+    vol_b, area_b, cert_b, payload = _escalate_frames_batched(
+        pos_batch, box_ls, vol_b, area_b, cert_b, tiers[1:], cell_impl
+    )
     n_cert_total = 0
     for t in range(F):
         cert_t = cert_b[t].copy()
         vol_b[t], area_b[t], cert_t = _escalate_and_close(
             pos_batch[t], float(box_ls[t]), num, vol_b[t], area_b[t],
-            cert_t, [], tiers[1:], row_block, fallback_k, cell_impl,
+            cert_t, payload[t], (), row_block, fallback_k, cell_impl,
         )
         n_cert_total += int(cert_t.sum())
     return vol_b, area_b, n_cert_total
@@ -1020,17 +1151,144 @@ def voronoi_volumes_hybrid_frames(
 
 @partial(
     jax.jit,
+    static_argnames=("k", "ks", "row_block", "eps", "win", "ti", "seg", "ci"),
+)
+def _tier_subset_frames(pb, bl, rows, k, ks, row_block, eps, win, ti, seg, ci):
+    """One escalation tier for selected rows of EVERY frame in one jitted
+    call (full mirror set — escalation never prunes). rows: (F, B) center
+    indices, bucket-padded per frame. Returns per-frame (vol, area, cert)
+    (F, B) plus the candidate payload for the host fallback."""
+
+    def one(args):
+        p, b, r = args
+        ext = mirror_points_device(p, b)
+        box = jnp.asarray([_NO_PBC_BOX] * 3, p.dtype)
+        out = _cells_blocked(
+            p[r], ext, box, k, ks, row_block, eps, win=win,
+            topk_impl=ti, topk_seg=seg, cell_impl=ci,
+        )
+        d_far = out["nbr_dist"][:, -1]
+        cert = (
+            out["ok_shape"] & out["win_covered"]
+            & (d_far >= 2.0 * out["r_cell"])
+        )
+        return (
+            out["vol"], out["area"], cert,
+            out["nbr_dist"], out["nbr_idx"], out["nbr_valid"],
+            out["win_covered"],
+        )
+
+    return jax.lax.map(one, (pb, bl, rows))
+
+
+def _escalate_frames_batched(pos_batch, box_ls, vol_b, area_b, cert_b,
+                             tiers_rest, cell_impl):
+    """Run the escalation ladder for a frame batch with one dispatch per
+    tier. Mutates/returns (vol_b, area_b, cert_b, payload) where payload[t]
+    is the `tier_rows` list for frame t's host fallback (the LAST tier's
+    candidate payload — later tiers recompute every still-bad row, so
+    earlier payloads are never consulted)."""
+    import jax as _jax
+
+    from waterorderlib_tpu.ops.pallas.voronoi_topk import fits_voronoi_topk
+    from waterorderlib_tpu.utils.logging import get_logger
+
+    F, n_pts = pos_batch.shape[0], pos_batch.shape[1]
+    payload = [[] for _ in range(F)]
+    if not tiers_rest:
+        return vol_b, area_b, cert_b, payload
+    pb = jnp.asarray(pos_batch)
+    bl = jnp.asarray(box_ls, pb.dtype)
+    eps = 1e-10 if pb.dtype == jnp.float64 else 1e-4
+    p4 = 4 * n_pts
+    p4_pad = -(-p4 // 128) * 128
+    on_tpu_f32 = (
+        _jax.devices()[0].platform == "tpu" and pb.dtype == jnp.float32
+    )
+    box_min = float(np.min(box_ls))
+    tiers_rest = tuple(tiers_rest)
+    for tier in tiers_rest:
+        k2, ks2 = tier[:2]
+        bad_rows = [np.where(~cert_b[t])[0] for t in range(F)]
+        max_bad = max(len(b) for b in bad_rows)
+        if max_bad == 0:
+            break
+        bucket = max(64, 1 << int(np.ceil(np.log2(max_bad))))
+        rows_np = np.zeros((F, bucket), np.int64)
+        for t, b in enumerate(bad_rows):
+            if len(b):
+                rows_np[t, : len(b)] = b
+                rows_np[t, len(b):] = b[0]
+        # size the window for the most SCATTERED frame (fewest bad rows →
+        # widest per-block z span), not the bucket: a too-narrow window
+        # coverage-vetoes the sparse frames' rows into the next tier
+        n_rows_w = min(len(b) for b in bad_rows if len(b))
+        win_t = 0 if tier is tiers_rest[-1] else _suggest_win_subset(
+            n_pts, box_min, ks2, n_rows_w
+        )
+        seg2 = next(
+            (s for s in (768, 512)
+             if fits_voronoi_topk(128, s, ks2, p4_pad, num=bucket)),
+            0,
+        )
+        ti2 = "pallas" if (
+            on_tpu_f32 and bucket >= 256 and seg2 > 0 and p4 >= 4096
+            and ("pallas", cell_impl, k2, ks2) not in _PALLAS_BROKEN
+        ) else "window"
+        rb = min(256, bucket)
+        win_arg = int(win_t) if win_t > 0 else None  # None/0 = full scan
+        try:
+            res = _tier_subset_frames(
+                pb, bl, jnp.asarray(rows_np), k2, ks2, rb, float(eps),
+                win_arg, ti2, seg2, cell_impl,
+            )
+            _jax.block_until_ready(res[0])
+        except Exception as e:  # noqa: BLE001 — Mosaic/runtime: XLA retry
+            _PALLAS_BROKEN.add((ti2, cell_impl, k2, ks2))
+            get_logger().warning(
+                "voronoi batched escalation tier (%d, %d) failed on "
+                "topk=%s (%s: %s); retrying on the XLA window path",
+                k2, ks2, ti2, type(e).__name__, e,
+            )
+            res = _tier_subset_frames(
+                pb, bl, jnp.asarray(rows_np), k2, ks2, rb, float(eps),
+                win_arg, "window", 0, cell_impl,
+            )
+        vol2, area2, cert2, nd, nidx, nvalid, wcov = (
+            np.asarray(x) for x in res
+        )
+        for t, b in enumerate(bad_rows):
+            nb = len(b)
+            if nb == 0:
+                continue
+            c2 = cert2[t, :nb].astype(bool)
+            fixed = b[c2]
+            vol_b[t][fixed] = vol2[t, :nb][c2].astype(np.float64)
+            area_b[t][fixed] = area2[t, :nb][c2].astype(np.float64)
+            cert_b[t][fixed] = True
+            payload[t] = [(b, {
+                "nbr_dist": nd[t, :nb], "nbr_idx": nidx[t, :nb],
+                "nbr_valid": nvalid[t, :nb], "win_covered": wcov[t, :nb],
+            })]
+    return vol_b, area_b, cert_b, payload
+
+
+@partial(
+    jax.jit,
     static_argnames=(
-        "num", "k", "ks", "row_block", "eps", "win", "ti", "seg", "ci"
+        "num", "k", "ks", "row_block", "eps", "win", "ti", "seg", "ci", "mb"
     ),
 )
-def _tier1_frames_local(pb, bl, num, k, ks, row_block, eps, win, ti, seg, ci):
+def _tier1_frames_local(pb, bl, num, k, ks, row_block, eps, win, ti, seg, ci,
+                        mb=0):
     """Unsharded frame batch: one jitted lax.map over frames (one compile,
     one host sync for the whole batch)."""
 
     def one(args):
         p, b = args
-        return _tier1_pure(p, b, num, k, ks, row_block, eps, win, ti, seg, ci)
+        return _tier1_pure(
+            p, b, num, k, ks, row_block, eps, win, ti, seg, ci, mb
+        )
 
     return jax.lax.map(one, (pb, bl))
 
@@ -1038,10 +1296,12 @@ def _tier1_frames_local(pb, bl, num, k, ks, row_block, eps, win, ti, seg, ci):
 def _batch_static_config(pos_batch, box_ls, k0: int, ks0: int,
                          cell_impl: str, nc: int):
     """Static dispatch config for a frame-batched tier-1: (eps, win, seg,
-    attempts). Chosen once for the whole batch exactly like _dispatch_cells
-    picks them per call; a Mosaic/runtime failure logs and retries the
-    WHOLE batch on the next (topk, cells) attempt. `nc` is the per-frame
-    center count (the Pallas kernels only pay off above ~256 rows)."""
+    attempts, mirror_budget). Chosen once for the whole batch exactly like
+    _dispatch_cells picks them per call; a Mosaic/runtime failure logs and
+    retries the WHOLE batch on the next (topk, cells) attempt. `nc` is the
+    per-frame center count (the Pallas kernels only pay off above ~256
+    rows). mirror_budget > 0 means every frame searches the depth-pruned
+    mirror set (certificates cap at the margin, so exactness holds)."""
     import jax as _jax
 
     from waterorderlib_tpu.ops.pallas.voronoi_cells import fits_voronoi_cells
@@ -1049,7 +1309,12 @@ def _batch_static_config(pos_batch, box_ls, k0: int, ks0: int,
 
     n_pts = pos_batch.shape[1]
     eps = 1e-10 if jnp.asarray(pos_batch[:1, :1]).dtype == jnp.float64 else 1e-4
-    p4 = 4 * n_pts
+    budget = (
+        _suggest_mirror_budget(n_pts, float(np.min(box_ls)), ks0)
+        if n_pts >= 2048
+        else 0
+    )
+    p4 = 4 * n_pts if budget == 0 else n_pts + budget
     p4_pad = -(-p4 // 128) * 128
     win = _suggest_win(n_pts, p4, float(np.min(box_ls)), ks0)
     f32 = jnp.asarray(pos_batch[:1, :1]).dtype == jnp.float32
@@ -1070,52 +1335,65 @@ def _batch_static_config(pos_batch, box_ls, k0: int, ks0: int,
     attempts = [
         a for a in attempts if (a[0], a[1], k0, ks0) not in _PALLAS_BROKEN
     ] or [("window", cell_impl)]
-    return eps, win, seg, attempts
+    return eps, win, seg, attempts, budget
 
 
 _CONTACTS_TIER1_KEYS = (
     "vol", "area", "certified", "face_area", "face_nverts",
-    "nbr_idx", "nbr_dist", "nbr_valid", "win_covered",
+    "nbr_idx", "nbr_dist", "nbr_valid", "win_covered", "prune_margin",
 )
 
 
 def _tier1_contacts_full(points, box_l, sel, num, k, k_search, row_block,
-                         eps, win, topk_impl, topk_seg, cell_impl):
+                         eps, win, topk_impl, topk_seg, cell_impl,
+                         mirror_budget: int = 0):
     """Traceable tier-1 cells WITH the face payload for ONE frame's
     selected center rows (`sel`, fixed length): the contacts analog of
     `_tier1_pure`. Returns the `_CONTACTS_TIER1_KEYS` tuple — everything
     `_scatter_contact_rows` and `_device_candidates` need, all in
-    sel-row space."""
+    sel-row space (nbr_idx in the FULL 4P mirror layout even when the
+    pruned set was searched)."""
     pts = jnp.asarray(points)
-    ext = mirror_points_device(pts, box_l)
+    if mirror_budget > 0:
+        ext, ext_map, margin_eff = mirror_points_pruned(
+            pts, box_l, mirror_budget
+        )
+    else:
+        ext = mirror_points_device(pts, box_l)
     box = jnp.asarray([_NO_PBC_BOX] * 3, pts.dtype)
     centers = pts[sel]
     out = _cells_blocked(
         centers, ext, box, k, k_search, row_block, eps, win=win,
         topk_impl=topk_impl, topk_seg=topk_seg, cell_impl=cell_impl,
+        n_real=pts.shape[0] if mirror_budget > 0 else None,
     )
     d_far = out["nbr_dist"][:, -1]
-    out["certified"] = (
-        out["ok_shape"] & out["win_covered"] & (d_far >= 2.0 * out["r_cell"])
-    )
+    cert = out["ok_shape"] & out["win_covered"] & (d_far >= 2.0 * out["r_cell"])
+    if mirror_budget > 0:
+        cert = cert & (2.0 * out["r_cell"] <= margin_eff)
+        out["nbr_idx"] = ext_map[out["nbr_idx"]]
+        out["prune_margin"] = jnp.full_like(out["r_cell"], margin_eff)
+    else:
+        out["prune_margin"] = jnp.full_like(out["r_cell"], jnp.inf)
+    out["certified"] = cert
     return tuple(out[kk] for kk in _CONTACTS_TIER1_KEYS)
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "num", "k", "ks", "row_block", "eps", "win", "ti", "seg", "ci"
+        "num", "k", "ks", "row_block", "eps", "win", "ti", "seg", "ci", "mb"
     ),
 )
 def _tier1_contacts_frames_local(pb, bl, sel, num, k, ks, row_block, eps,
-                                 win, ti, seg, ci):
+                                 win, ti, seg, ci, mb=0):
     """Unsharded contacts tier-1 frame batch: one jitted lax.map over
     frames (one compile, one host sync for the whole batch)."""
 
     def one(args):
         p, b = args
         return _tier1_contacts_full(
-            p, b, sel, num, k, ks, row_block, eps, win, ti, seg, ci
+            p, b, sel, num, k, ks, row_block, eps, win, ti, seg, ci, mb
         )
 
     return jax.lax.map(one, (pb, bl))
@@ -1163,7 +1441,7 @@ def voronoi_contacts_hybrid_frames(
         [sel_rows, np.full(bucket - n_want, sel_rows[0] if n_want else 0, int)]
     )
     k0, ks0 = tiers[0][:2]
-    eps, win, seg, attempts = _batch_static_config(
+    eps, win, seg, attempts, mb = _batch_static_config(
         pos_batch, box_ls, k0, ks0, cell_impl, nc=bucket
     )
     rb = min(row_block, bucket)
@@ -1191,11 +1469,12 @@ def voronoi_contacts_hybrid_frames(
                     pb, bl, sel_j, mesh, num=num, k=k0, k_search=ks0,
                     row_block=rb, eps=float(eps), win=int(win),
                     topk_impl=ti, topk_seg=seg, cell_impl=ci,
+                    mirror_budget=mb,
                 )
             else:
                 res = _tier1_contacts_frames_local(
                     pb, bl, sel_j, num, k0, ks0, rb, float(eps), int(win),
-                    ti, seg, ci,
+                    ti, seg, ci, mb,
                 )
             _jax.block_until_ready(res[0])
             log_once(
@@ -1245,8 +1524,13 @@ def _device_candidates(tier_rows, bad, ext, points):
         nbr_dist = np.asarray(o["nbr_dist"])
         nbr_valid = np.asarray(o["nbr_valid"])
         wcov = np.asarray(o["win_covered"])
+        pm = o.get("prune_margin")
+        pm = None if pm is None else np.asarray(pm)
         for p, r in enumerate(rows_idx):
-            latest[int(r)] = (nbr_idx[p], nbr_dist[p], nbr_valid[p], wcov[p])
+            latest[int(r)] = (
+                nbr_idx[p], nbr_dist[p], nbr_valid[p], wcov[p],
+                np.inf if pm is None else float(pm[p]),
+            )
     for i in bad:
         entry = latest.get(int(i))
         if entry is None:
@@ -1254,7 +1538,7 @@ def _device_candidates(tier_rows, bad, ext, points):
             # keeps none and the ladder was empty): full host search
             yield np.zeros((0, 3)), -np.inf, np.zeros(0, int)
             continue
-        idxs, dvec, valid, covered = entry
+        idxs, dvec, valid, covered, pmv = entry
         if not covered or not valid.any():
             # the z-window search may have missed nearer candidates: force
             # the full host search by failing the d_far certificate
@@ -1262,7 +1546,9 @@ def _device_candidates(tier_rows, bad, ext, points):
             continue
         sel = idxs[valid]
         rel = ext[sel] - np.asarray(points[i], ext.dtype)[None, :]
-        yield rel, float(dvec[valid][-1]), sel
+        # under mirror pruning, unseen EXCLUDED mirrors are only known to be
+        # beyond the pruning margin — the far-candidate bound caps there
+        yield rel, float(min(dvec[valid][-1], pmv)), sel
 
 
 def _host_cell_from_device(rel: np.ndarray, d_far: float):
@@ -1364,16 +1650,22 @@ def _contacts_escalate_and_close(points, box_l, num, sel_rows, vol, area,
     space; vol/area/contacts are mutated in place. Returns the
     `voronoi_contacts_hybrid` result tuple."""
     P = len(points)
+    is_last = lambda t: t is tiers_rest[-1]
     for tier in tiers_rest:
         k2, ks2 = tier[:2]
         bad_pos = np.where(~cert)[0]
         if not len(bad_pos):
             break
         bad_idx = sel_rows[bad_pos]
+        # see _escalate_and_close: windowed intermediate tiers, full-scan
+        # last tier
+        win_t = 0 if is_last(tier) else _suggest_win_subset(
+            len(points), float(box_l), ks2, len(bad_idx)
+        )
         out2 = voronoi_cells_device(
             points, box_l, num, k=k2, k_search=ks2,
             row_block=min(row_block, max(1, len(bad_idx))), centers_idx=bad_idx,
-            win=0,  # small subset: full scan beats a coverage-vetoed window
+            win=win_t,
             cell_impl=cell_impl,
         )
         tier_rows.append((bad_idx, out2))
