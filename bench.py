@@ -353,7 +353,13 @@ def breakdown():
                 return res
 
             sec, _ = _time_batch(sasa_mxu, poss, boxess, Fs, iters=3)
-            out["sasa_mxu"] = entry(sec * 1e3, N_WATERS, Fs, n_sphere_points=1000)
+            # QUARANTINED in production (surface/sasa.py: measured slower
+            # than the XLA pruned sweep on-chip AND 0.53 A^2 off the XLA
+            # oracle); timed here for the record only
+            out["sasa_mxu"] = entry(
+                sec * 1e3, N_WATERS, Fs, n_sphere_points=1000,
+                quarantined=True,
+            )
     except Exception as e:
         out["sasa_mxu"] = f"failed: {type(e).__name__}"
 

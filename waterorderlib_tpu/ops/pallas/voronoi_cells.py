@@ -115,8 +115,8 @@ def _make_kernel(k: int, ks: int, pp: int, f: int, ba: int, eps: float,
             dedup_flag = cols[0, 6]
             tol = epsf * s_scale
 
-            ri = jnp.dot(rows, ohi_ref[:], preferred_element_type=jnp.float32)
-            rj = jnp.dot(rows, ohj_ref[:], preferred_element_type=jnp.float32)
+            ri = jnp.dot(rows, ohi_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+            rj = jnp.dot(rows, ohj_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
             rix, riy, riz, s_i, rli = (ri[c : c + 1] for c in range(5))
             rjx, rjy, rjz, s_j, rlj = (rj[c : c + 1] for c in range(5))
 
@@ -188,7 +188,7 @@ def _make_kernel(k: int, ks: int, pp: int, f: int, ba: int, eps: float,
             q7_ref[5:6, :] = v2z
             q7_ref[6:7, :] = feas.astype(jnp.float32)
             q7_ref[7:8, :] = jnp.zeros((1, pp), jnp.float32)
-            G = jnp.dot(q7_ref[:], pt_ref[:], preferred_element_type=jnp.float32)
+            G = jnp.dot(q7_ref[:], pt_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
             g1x, g1y, g1z = G[0:1], G[1:2], G[2:3]
             g2x, g2y, g2z = G[3:4], G[4:5], G[5:6]
             tvx, tvy, tvz = g2x - g1x, g2y - g1y, g2z - g1z
@@ -217,7 +217,7 @@ def _make_kernel(k: int, ks: int, pp: int, f: int, ba: int, eps: float,
                 s8_ref[6:7, :] = eokf.astype(jnp.float32)
                 s8_ref[7:8, :] = jnp.zeros((1, f), jnp.float32)
                 S = jnp.dot(
-                    s8_ref[:], summ_ref[:], preferred_element_type=jnp.float32
+                    s8_ref[:], summ_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
                 )  # (8, K)
                 gx, gy, gz = S[3:4], S[4:5], S[5:6]
                 vax = 0.5 * (S[0:1] - (qfy * gz - qfz * gy))
@@ -240,12 +240,14 @@ def _make_kernel(k: int, ks: int, pp: int, f: int, ba: int, eps: float,
                 # duplicate = an EARLIER edge of the same face with the
                 # same endpoints (either order), exactly as the XLA tail
                 taken = jnp.zeros((1, f), jnp.bool_)
-                zrow = jnp.zeros((1, 1), jnp.float32)
+                # lane shift as rotate+mask: Mosaic rejects the concat form
+                # (tpu.concatenate of a (1,1) zero column with a (1,f-1)
+                # slice carrying a lane offset — "result/input offset
+                # mismatch on non-concat dimension", seen on-chip r4)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, f), 1)
 
                 def shift(x, d):
-                    return jnp.concatenate(
-                        [jnp.broadcast_to(zrow, (1, d)), x[:, : f - d]], axis=1
-                    )
+                    return jnp.where(lane >= d, pltpu.roll(x, d, 1), 0.0)
 
                 for d in range(1, k - 1):
                     o1x, o1y, o1z = shift(g1x, d), shift(g1y, d), shift(g1z, d)

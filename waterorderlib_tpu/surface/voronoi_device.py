@@ -149,6 +149,24 @@ def _suggest_win_subset(
     return win
 
 
+def _quantize_win(win: int, p4: int) -> int:
+    """Round an escalation-window suggestion UP to a coarse p4/16 grid
+    (512-aligned) and veto it when it no longer shrinks the scan. `win`
+    feeds a jit-static shape: the raw suggestion varies with every frame's
+    uncertified count, and on this relay each distinct value is a 30-200 s
+    recompile (measured r4: 53/29/10.7 s for three successive 12k frames
+    on a 512-grid quantization — that grid still admitted dozens of
+    values). The p4/16 grid bounds distinct shapes per (N, tier) at <= 12
+    for <= 6% overscan of the subset search."""
+    if win <= 0:
+        return 0
+    step = max(512, -(-(p4 // 16) // 512) * 512)
+    q = -(-win // step) * step
+    if q >= 0.75 * p4:
+        return 0
+    return q
+
+
 def _suggest_mirror_budget(n_real: int, box_l: float, k_search: int) -> int:
     """Mirror-slot budget for `mirror_points_pruned`, or 0 to keep the full
     4P set. Sized so the effective margin (depth of the shallowest EXCLUDED
@@ -718,15 +736,17 @@ def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
         and nc >= 256
     )
     use_topk = on_tpu_f32 and p4 >= 4096 and seg > 0
-    # fused cell-moments kernel: tier-1 geometry only, and only when the
-    # caller asked for the default clip semantics (it is contract-identical
-    # to "clip")
+    # fused cell-moments kernel: contract-identical to "clip" but OPT-IN
+    # only — on-chip it measures SLOWER than the XLA clip path (r4: 221 vs
+    # 159 ms tier-1 at 12k/(32,64); the per-atom fori_loop is latency-bound
+    # on tiny (8,ks)@(ks,PP) matmuls, not arithmetic-bound as projected).
+    # Defaults are set by measurement: clip stays the production builder.
     from waterorderlib_tpu.ops.pallas.voronoi_cells import fits_voronoi_cells
 
     use_cells = (
-        on_tpu_f32 and cell_impl == "clip" and fits_voronoi_cells(k, k_search)
+        on_tpu_f32 and cell_impl == "pallas" and fits_voronoi_cells(k, k_search)
     )
-    cell_tiers = [cell_impl]
+    cell_tiers = ["clip" if cell_impl == "pallas" else cell_impl]
     if use_cells:
         # the "always" variant has no data-dependent control flow — retried
         # if the auto kernel (lax.cond on the tangency detector) fails to
@@ -984,13 +1004,20 @@ def _escalate_and_close(points, box_l, num, vol, area, cert, tier_rows,
             break
         # intermediate tiers: scatter-aware z-window (coverage-vetoed rows
         # just ride to the next tier); the LAST tier full-scans so a
-        # window miss can never force a host fallback
-        win_t = 0 if is_last(tier) else _suggest_win_subset(
-            len(points), float(box_l), ks2, len(bad_idx)
+        # window miss can never force a host fallback. The subset itself is
+        # bucket-padded inside voronoi_cells_device; the WINDOW is the other
+        # jit-static shape input — quantize it geometrically (_quantize_win)
+        # so per-frame bad-row variation cannot mint fresh compiles.
+        win_t = 0 if is_last(tier) else _quantize_win(
+            _suggest_win_subset(len(points), float(box_l), ks2, len(bad_idx)),
+            4 * len(points),
         )
+        # row_block clamps to the BUCKETED subset size inside
+        # voronoi_cells_device — shrinking it to the raw count here would
+        # reintroduce a per-frame-varying static shape
         out2 = voronoi_cells_device(
             points, box_l, num, k=k2, k_search=ks2,
-            row_block=min(row_block, max(1, len(bad_idx))), centers_idx=bad_idx,
+            row_block=row_block, centers_idx=bad_idx,
             win=win_t,
             cell_impl=cell_impl,
         )
@@ -1223,8 +1250,9 @@ def _escalate_frames_batched(pos_batch, box_ls, vol_b, area_b, cert_b,
         # widest per-block z span), not the bucket: a too-narrow window
         # coverage-vetoes the sparse frames' rows into the next tier
         n_rows_w = min(len(b) for b in bad_rows if len(b))
-        win_t = 0 if tier is tiers_rest[-1] else _suggest_win_subset(
-            n_pts, box_min, ks2, n_rows_w
+        # geometric quantization: stable static window shape across batches
+        win_t = 0 if tier is tiers_rest[-1] else _quantize_win(
+            _suggest_win_subset(n_pts, box_min, ks2, n_rows_w), p4
         )
         seg2 = next(
             (s for s in (768, 512)
@@ -1324,17 +1352,20 @@ def _batch_static_config(pos_batch, box_ls, k0: int, ks0: int,
         0,
     )
     attempts = []
+    base_ci = "clip" if cell_impl == "pallas" else cell_impl
     if on_tpu_f32:
         ti = "pallas" if (p4 >= 4096 and seg > 0) else "window"
-        if cell_impl == "clip" and fits_voronoi_cells(k0, ks0):
+        # fused cells kernel is opt-in (measured slower than the XLA clip
+        # path on-chip, r4 — see _dispatch_cells)
+        if cell_impl == "pallas" and fits_voronoi_cells(k0, ks0):
             attempts += [(ti, "pallas"), (ti, "pallas_always")]
-        if (ti, cell_impl) not in attempts:
-            attempts.append((ti, cell_impl))
-    if ("window", cell_impl) not in attempts:
-        attempts.append(("window", cell_impl))
+        if (ti, base_ci) not in attempts:
+            attempts.append((ti, base_ci))
+    if ("window", base_ci) not in attempts:
+        attempts.append(("window", base_ci))
     attempts = [
         a for a in attempts if (a[0], a[1], k0, ks0) not in _PALLAS_BROKEN
-    ] or [("window", cell_impl)]
+    ] or [("window", base_ci)]
     return eps, win, seg, attempts, budget
 
 
@@ -1658,13 +1689,16 @@ def _contacts_escalate_and_close(points, box_l, num, sel_rows, vol, area,
             break
         bad_idx = sel_rows[bad_pos]
         # see _escalate_and_close: windowed intermediate tiers, full-scan
-        # last tier
-        win_t = 0 if is_last(tier) else _suggest_win_subset(
-            len(points), float(box_l), ks2, len(bad_idx)
+        # last tier; geometric window quantization + unshrunk row_block
+        # keep the tier's jit shapes stable across frames (recompile
+        # pathology, r4)
+        win_t = 0 if is_last(tier) else _quantize_win(
+            _suggest_win_subset(len(points), float(box_l), ks2, len(bad_idx)),
+            4 * len(points),
         )
         out2 = voronoi_cells_device(
             points, box_l, num, k=k2, k_search=ks2,
-            row_block=min(row_block, max(1, len(bad_idx))), centers_idx=bad_idx,
+            row_block=row_block, centers_idx=bad_idx,
             win=win_t,
             cell_impl=cell_impl,
         )
