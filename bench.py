@@ -440,6 +440,34 @@ def breakdown():
         )
     except Exception as e:
         out["voronoi_hybrid_e2e"] = f"failed: {type(e).__name__}"
+
+    # frames-batched hybrid — the production trajectory path (one tier-1
+    # dispatch for all frames + batched escalation ladder); per-frame
+    # dispatch+retrace overhead amortizes away here, so this is the number
+    # that matches what voronoi_calc costs on a real trajectory
+    try:
+        from waterorderlib_tpu.surface.voronoi_device import (
+            voronoi_volumes_hybrid_frames,
+        )
+
+        Fv = 4
+        posvf, _, _ = _make_traj(nv, Fv, seed=6)
+        blsv = np.full((Fv,), boxv, np.float32)
+        volb, areab, certb = voronoi_volumes_hybrid_frames(posvf, blsv, nv)
+        best = float("inf")
+        for i in range(2):
+            t0 = _time.time()
+            volb, areab, certb = voronoi_volumes_hybrid_frames(
+                np.mod(posvf + np.float32(1e-3 * (i + 1)), boxv), blsv, nv
+            )
+            best = min(best, (_time.time() - t0) / Fv)
+        out["voronoi_frames_e2e"] = entry(
+            best * 1e3, nv, Fv,
+            certified_frac=round(int(np.asarray(certb).sum()) / (nv * Fv), 4),
+            vs_host_ms=2050.0,
+        )
+    except Exception as e:
+        out["voronoi_frames_e2e"] = f"failed: {type(e).__name__}"
     return out
 
 

@@ -171,12 +171,12 @@ def sasa_per_atom(
     rad = jnp.asarray(radii) + probe_radius
     box = jnp.asarray(box)
     # The fused MXU occlusion kernel is QUARANTINED behind an explicit
-    # opt-in: measured on the real chip (round 4) it is both slower than
-    # the XLA occluder-pruned sweep (64.8 vs 44.4 ms at 4k atoms, ~parity
-    # at 12k) and numerically wrong (max area diff 0.53 A^2 vs the XLA
-    # oracle at f32 tolerance — under investigation, likely MXU matmul
-    # precision on the occlusion boundary). Interpret-mode validation had
-    # passed; chip behavior wins.
+    # opt-in, for SPEED only: with Precision.HIGHEST on the occlusion
+    # matmul it is bit-exact vs this XLA oracle on the chip (round 4:
+    # maxabs area diff 0.0 at 4k; the earlier 0.53 A^2 wrongness was the
+    # bf16-default MXU product compared against an exactly-computed
+    # threshold), but exactness costs 103.5 ms at 4k vs the XLA
+    # occluder-pruned sweep's 53.8 ms.
     pruned_cert_failed = False
     if (
         os.environ.get("WOL_SASA_MXU") == "1"
