@@ -396,8 +396,10 @@ def test_windowed_topk_matches_full_scan():
     pts = pts.astype(np.float32)
     win = _suggest_win(4096, 4 * 4096, box_l, 64)
     assert win < 4 * 4096, "window should engage at this size"
-    out_w = voronoi_cells_device(pts, box_l, len(pts))
-    out_f = voronoi_cells_device(pts, box_l, len(pts), win=0)
+    # cg=None: this test pins the z-WINDOW search (the cell-grid tier,
+    # which outranks it at this size, has its own tests below)
+    out_w = voronoi_cells_device(pts, box_l, len(pts), cg=None)
+    out_f = voronoi_cells_device(pts, box_l, len(pts), win=0, cg=None)
     cov = np.asarray(out_w["win_covered"])
     assert cov.mean() >= 0.9
     vw = np.asarray(out_w["vol"])
@@ -749,3 +751,103 @@ def test_mirror_pruning_certified_exact():
 
     vol, area, ncert = vd.voronoi_volumes_hybrid(pts, box_l, n)
     assert abs(vol.sum() - box_l**3) / box_l**3 < 5e-3
+
+
+def test_cellgrid_topk_matches_full_scan():
+    """The 3-D cell-grid candidate search matches the full-scan top-K on
+    every covered row (to the 1-ulp noise of a different distance summation
+    order), and coverage is essentially complete on a liquid-like box (the
+    density tail rides the escalation ladder)."""
+    import jax.numpy as jnp
+
+    from waterorderlib_tpu.ops import pairs as ops_pairs
+    from waterorderlib_tpu.surface import voronoi_device as vd
+
+    n = 4096
+    pts, box_l = _water_points(n=n, jitter=0.6, seed=7)
+    pts = pts.astype(np.float32)
+    cg = vd._suggest_cellgrid(n, float(box_l), 64)
+    assert cg is not None and cg[0] >= 5
+    ext = vd.mirror_points_device(jnp.asarray(pts), box_l)
+    d1, i1, v1, c1 = (
+        np.asarray(x)
+        for x in vd._cellgrid_topk(
+            jnp.asarray(pts), ext, jnp.float32(box_l), 64, 128, cg[0], cg[1]
+        )
+    )
+    nl = ops_pairs.topk_neighbors(
+        jnp.asarray(pts), ext, jnp.asarray([vd._NO_PBC_BOX] * 3, jnp.float32),
+        k=64, low_cut=0.0, high_cut=jnp.inf, row_block=256,
+    )
+    d0 = np.asarray(nl.dist)
+    assert c1.mean() >= 0.95
+    assert v1[c1].all()
+    np.testing.assert_allclose(d1[c1], d0[c1], rtol=2e-6, atol=2e-6)
+    # covered rows' index SETS match, except where a 1-ulp distance
+    # difference swaps candidates tied at the K-th boundary
+    i0 = np.asarray(nl.idx)
+    rows = np.where(c1)[0][:256]
+    for r in rows:
+        if set(i1[r].tolist()) != set(i0[r].tolist()):
+            np.testing.assert_allclose(
+                np.sort(d1[r]), np.sort(d0[r]), rtol=2e-6, atol=2e-6
+            )
+
+
+def test_cellgrid_overflow_vetoes_coverage():
+    """A grid cell holding more candidates than `cap` must coverage-veto
+    every row whose neighborhood touches it (dropped candidates could be
+    in the true top-K) — and rows it reports covered stay exact."""
+    import jax.numpy as jnp
+
+    from waterorderlib_tpu.ops import pairs as ops_pairs
+    from waterorderlib_tpu.surface import voronoi_device as vd
+
+    n = 500
+    pts, box_l = _water_points(n=n, jitter=0.6, seed=9)
+    # dense cluster: 40 extra points in a ~0.5 A ball INSIDE one grid cell
+    # (center of cell (2,2,2) for n_side=6: s=box/4, center at 1.5*s)
+    rs = np.random.RandomState(3)
+    n_side, cap = 6, 16  # cap below the cluster population: must overflow
+    ccenter = 1.5 * box_l / (n_side - 2)
+    cluster = ccenter + rs.normal(scale=0.15, size=(40, 3))
+    pts = np.concatenate([pts[:-40], cluster]).astype(np.float32)
+    ext = vd.mirror_points_device(jnp.asarray(pts), box_l)
+    d1, i1, v1, c1 = (
+        np.asarray(x)
+        for x in vd._cellgrid_topk(
+            jnp.asarray(pts), ext, jnp.float32(box_l), 32, 128, n_side, cap
+        )
+    )
+    # the cluster's own rows (and near neighbors) must NOT be covered
+    near = np.linalg.norm(pts - ccenter, axis=1) < 1.0
+    assert near.sum() >= 40
+    assert not c1[near].any()
+    assert c1.sum() > 0  # far rows still covered
+    nl = ops_pairs.topk_neighbors(
+        jnp.asarray(pts), ext, jnp.asarray([vd._NO_PBC_BOX] * 3, jnp.float32),
+        k=32, low_cut=0.0, high_cut=jnp.inf, row_block=128,
+    )
+    np.testing.assert_allclose(
+        d1[c1], np.asarray(nl.dist)[c1], rtol=2e-6, atol=2e-6
+    )
+
+
+def test_cellgrid_hybrid_parity_vs_host():
+    """End to end through the hybrid at a size where the cell-grid tier-1
+    engages: certified f32 volumes match the f64 Qhull oracle within the
+    documented ~1e-3 band and tile the box."""
+    from waterorderlib_tpu.surface import voronoi_device as vd
+    from waterorderlib_tpu.surface.voronoi import voronoi_volumes
+
+    n = 3456
+    pts, box_l = _water_points(n=n, jitter=0.6, seed=5)
+    assert vd._suggest_cellgrid(n, float(box_l), 64) is not None
+    vol, area, n_cert = vd.voronoi_volumes_hybrid(
+        pts.astype(np.float32), box_l, n
+    )
+    assert n_cert >= 0.95 * n
+    vh, ah = voronoi_volumes(pts.astype(np.float64), box_l, n)
+    np.testing.assert_allclose(vol, vh, rtol=5e-3)
+    np.testing.assert_allclose(area, ah, rtol=5e-3)
+    np.testing.assert_allclose(vol.sum(), box_l**3, rtol=1e-3)

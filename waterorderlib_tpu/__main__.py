@@ -146,6 +146,8 @@ def main(argv=None):
         from waterorderlib_tpu.drivers.voronoi_driver import voronoi_calc
 
         mesh_kw = {"mesh": chunk["mesh"]} if "mesh" in chunk else {}
+        if args.chunk_frames:
+            mesh_kw["chunk_frames"] = args.chunk_frames
         avg_v, var_v, avg_a, var_a, avg_e, var_e = voronoi_calc(
             args.top, args.traj, engine=args.engine, **common, **mesh_kw)
         print(json.dumps({"avgVol": avg_v[0].tolist(), "avgArea": avg_a[0].tolist(),

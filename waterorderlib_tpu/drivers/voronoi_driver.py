@@ -82,6 +82,7 @@ def voronoi_calc(
     seed: int | None = 0,
     engine: str = "auto",
     mesh=None,
+    chunk_frames: int | None = None,
 ):
     """Per-water Voronoi volume/area/asphericity eta = A^3/(36 pi V^2)
     (orderParam_lib.py:964-1111). Returns (avgVol, varVol, avgArea, varArea,
@@ -92,9 +93,15 @@ def voronoi_calc(
     TPU cells (surface/voronoi_device.py) with per-atom host fallback;
     "auto" = device at >= 2048 points.
 
-    mesh: optional jax.sharding.Mesh (device engine only) — tier-1 cells
-    for the whole frame batch run in one shard_mapped call with frames
-    data-parallel over the mesh (per-frame tessellations are independent);
+    The device engine batches frames by default: tier-1 cells for
+    `chunk_frames` frames (default: min(F, 16)) run in ONE jitted dispatch
+    and the escalation ladder runs once per tier per chunk — the per-frame
+    path re-traces every tier's jit and pays the dispatch round-trip per
+    tier per frame (measured 4.3-41 s/frame at 12k vs ~0.5 s batched,
+    PERF.md round 4); it is kept only for single-frame calls.
+
+    mesh: optional jax.sharding.Mesh (device engine only) — the batched
+    tier-1 call is shard_mapped with frames data-parallel over the mesh;
     escalation/host fallback stay per-frame on the uncertified residue."""
     top, traj = _resolve_system(top_file, traj_file, stride)
     wat_inds, _, _ = top.get_wat_inds(wat_res)
@@ -109,20 +116,37 @@ def voronoi_calc(
     if eng == "device":
         from waterorderlib_tpu.surface.voronoi_device import voronoi_volumes_hybrid
 
-        if mesh is not None:
+        if F > 1 or mesh is not None or chunk_frames is not None:
             from waterorderlib_tpu.surface.voronoi_device import (
                 voronoi_volumes_hybrid_frames,
             )
 
-            pos_b = np.asarray(traj.positions)[:, heavy, :].astype(np.float64)
-            box_ls = np.asarray(traj.boxes)[:, 0].astype(np.float64)
-            vol_b, area_b, n_cert_tot = voronoi_volumes_hybrid_frames(
-                pos_b, box_ls, nw, mesh=mesh
-            )
+            cf = int(chunk_frames) if chunk_frames else min(F, 16)
+            if mesh is not None:
+                # chunks must fill the mesh; frames pad to the device count
+                cf = max(cf, int(mesh.devices.size))
+            vol_b = np.zeros((F, nw))
+            area_b = np.zeros((F, nw))
+            n_cert_tot = 0
+            for c0 in range(0, F, cf):
+                c1 = min(c0 + cf, F)
+                pos_b = np.asarray(
+                    [traj.positions[t] for t in range(c0, c1)], np.float64
+                )[:, heavy, :]
+                box_ls = np.asarray(
+                    [traj.boxes[t][0] for t in range(c0, c1)], np.float64
+                )
+                vol_b[c0:c1], area_b[c0:c1], n_c = voronoi_volumes_hybrid_frames(
+                    pos_b, box_ls, nw, mesh=mesh
+                )
+                n_cert_tot += int(n_c)
             _log_engine_once(
                 "voronoi_calc.cert", "device",
-                f" ({n_cert_tot}/{F * nw} cells device-certified, "
-                f"frames sharded over {int(mesh.devices.size)} devices)",
+                f" ({n_cert_tot}/{F * nw} cells device-certified, frames "
+                f"batched in chunks of {cf}"
+                + (f", sharded over {int(mesh.devices.size)} devices"
+                   if mesh is not None else "")
+                + ")",
             )
 
     stats = {k: np.zeros((F, n_pops + 1)) for k in

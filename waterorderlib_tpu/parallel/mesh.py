@@ -576,7 +576,7 @@ def sharded_msd(
     jax.jit,
     static_argnames=(
         "mesh", "num", "k", "k_search", "row_block", "eps", "win",
-        "topk_impl", "topk_seg", "cell_impl", "mirror_budget",
+        "topk_impl", "topk_seg", "cell_impl", "mirror_budget", "cg",
     ),
 )
 def sharded_voronoi_tier1(
@@ -594,6 +594,7 @@ def sharded_voronoi_tier1(
     topk_seg: int,
     cell_impl: str,
     mirror_budget: int = 0,
+    cg=None,
 ):
     """Tier-1 device Voronoi cells for a frame batch, frames sharded over
     BOTH mesh axes (a per-frame tessellation is independent of every other
@@ -613,7 +614,7 @@ def sharded_voronoi_tier1(
             p, b = args
             return vd._tier1_pure(
                 p, b, num, k, k_search, row_block, eps, win, topk_impl,
-                topk_seg, cell_impl, mirror_budget,
+                topk_seg, cell_impl, mirror_budget, cg,
             )
 
         return jax.lax.map(one, (pos_blk, bl_blk))
@@ -632,7 +633,7 @@ def sharded_voronoi_tier1(
     jax.jit,
     static_argnames=(
         "mesh", "num", "k", "k_search", "row_block", "eps", "win",
-        "topk_impl", "topk_seg", "cell_impl", "mirror_budget",
+        "topk_impl", "topk_seg", "cell_impl", "mirror_budget", "cg",
     ),
 )
 def sharded_voronoi_contacts_tier1(
@@ -651,6 +652,7 @@ def sharded_voronoi_contacts_tier1(
     topk_seg: int,
     cell_impl: str,
     mirror_budget: int = 0,
+    cg=None,
 ):
     """Contacts variant of `sharded_voronoi_tier1`: tier-1 cells WITH the
     face payload for the selected center rows of every frame, frames
@@ -664,7 +666,7 @@ def sharded_voronoi_contacts_tier1(
             p, b = args
             return vd._tier1_contacts_full(
                 p, b, sel_rep, num, k, k_search, row_block, eps, win,
-                topk_impl, topk_seg, cell_impl, mirror_budget,
+                topk_impl, topk_seg, cell_impl, mirror_budget, cg,
             )
 
         return jax.lax.map(one, (pos_blk, bl_blk))

@@ -618,15 +618,198 @@ def _suggest_win(n_real: int, p4: int, box_l: float, k_search: int) -> int:
     return win
 
 
-@partial(jax.jit, static_argnames=("k", "k_search", "row_block", "eps", "win", "topk_impl", "topk_seg", "cell_impl", "n_real"))
+def _suggest_cellgrid(
+    n_real: int, box_l: float, k_search: int, s_factor: float = 1.12
+):
+    """(n_side, cap) for the 3-D cell-grid candidate search, or None when a
+    grid would not beat the z-window scan it replaces.
+
+    The grid edge is sized at ~s_factor x the expected k_search-th neighbor
+    distance, so a row's 27-cell neighborhood (27*cap lanes) provably covers
+    its true top-K for all but density-tail rows (which the escalation
+    ladder rescues, exactly as z-window coverage misses do). Lane count is
+    density-, not N-, determined: at 131k atoms the z-window needs ~65k
+    lanes per row, the grid still ~1.5k. cap carries ~6 Poisson sigmas of
+    occupancy headroom — an overflowing cell coverage-vetoes every row whose
+    neighborhood touches it, so headroom is cheap insurance."""
+    if n_real < 3072 or box_l <= 0:
+        return None
+    rho = n_real / box_l**3
+    d_k = (3.0 * k_search / (4.0 * np.pi * max(rho, 1e-12))) ** (1.0 / 3.0)
+    n_side = int(box_l / (s_factor * d_k)) + 2
+    if n_side < 5:
+        return None  # grid coarser than ~3 cells across: no pruning to win
+    s = box_l / (n_side - 2)
+    occ = rho * s**3
+    cap = int(-(-(occ + 6.0 * occ**0.5 + 4.0) // 8) * 8)
+    win = _suggest_win(n_real, 4 * n_real, box_l, k_search)
+    if 27 * cap >= 0.7 * win:
+        return None
+    return n_side, cap
+
+
+def _cellgrid_build(ext, box_l, n_side: int, cap: int):
+    """Bucket the mirrored candidate set into a per-cell position table.
+
+    The grid covers [-s, box_l + s] with n_side cells per axis
+    (s = box_l / (n_side - 2)); candidates outside it are DROPPED — every
+    dropped candidate is provably > s from every in-box center, so the
+    coverage certificate in `_cellgrid_topk` caps at s whenever any drop
+    happened. Built entirely with sort + searchsorted + gathers (no TPU
+    scatters): after sorting by cell id, each cell's members are one
+    contiguous run of the sorted array.
+
+    Returns (tbl (n_cells, 4*cap) — per cell the planes [x, y, z, idx]
+    (idx as dtype float, exact below 2^24; empty slots park at +inf / -1),
+    overflow (n_cells,) bool — cells with more than cap members,
+    dropped () bool — any candidate outside the grid, s () — cell edge)."""
+    dtype = ext.dtype
+    n_cells = n_side**3
+    p4 = ext.shape[0]
+    s = jnp.asarray(box_l, dtype) / (n_side - 2)
+    g = jnp.floor(ext / s).astype(jnp.int32) + 1  # grid origin is -s
+    ing = jnp.all((g >= 0) & (g < n_side), axis=-1)
+    cid = (g[:, 2] * n_side + g[:, 1]) * n_side + g[:, 0]
+    cid = jnp.where(ing, cid, n_cells)  # sentinel: sorts to the tail
+    order = jnp.argsort(cid)
+    sc = cid[order]
+    es = ext[order]
+    cells = jnp.arange(n_cells, dtype=sc.dtype)
+    start = jnp.searchsorted(sc, cells, side="left")
+    count = jnp.searchsorted(sc, cells, side="right") - start
+    overflow = count > cap
+    src = jnp.clip(start[:, None] + jnp.arange(cap)[None, :], 0, p4 - 1)
+    okslot = jnp.arange(cap)[None, :] < count[:, None]  # (n_cells, cap)
+    pos_s = es[src]  # (n_cells, cap, 3)
+    idx_s = order[src]
+    inf = jnp.asarray(jnp.inf, dtype)
+    planes = [jnp.where(okslot, pos_s[..., a], inf) for a in range(3)]
+    planes.append(jnp.where(okslot, idx_s.astype(dtype), -1.0))
+    tbl = jnp.stack(planes, axis=1).reshape(n_cells, 4 * cap)
+    dropped = jnp.any(sc >= n_cells)
+    return tbl, overflow, dropped, s
+
+
+def _cellgrid_topk(centers, ext, box_l, k_search, row_block, n_side, cap):
+    """K-nearest mirrored candidates via a 3-D cell grid — the algorithmic
+    replacement for `_windowed_topk`'s z-slab scan (same contract).
+
+    Each center gathers its 27-cell neighborhood from the bucketed table:
+    9 contiguous (3-cell x-run, 4*cap)-slices per row (a vmapped
+    dynamic_slice — one gather of large contiguous blocks), then one
+    lax.top_k over 27*cap lanes instead of the z-window's thousands. The
+    round-4 ablation proved the z-window tier-1 is bound by the top-k/merge
+    working set, not the lane scan — this shrinks exactly that.
+
+    Per-row coverage certificate: the neighborhood covers the full L-inf
+    ball of radius `reach` around the center (reach = distance to the
+    gathered region's boundary, >= s for interior rows); the K-th distance
+    must beat min(reach, s-if-any-candidate-was-dropped), every slot must
+    have filled, and no touched cell may have overflowed `cap`.
+
+    Returns (dist (num, K), idx (num, K) into ext, valid, covered)."""
+    dtype = centers.dtype
+    n_cells = n_side**3
+    tbl, overflow, dropped, s = _cellgrid_build(ext, box_l, n_side, cap)
+    num = centers.shape[0]
+    g = jnp.clip(
+        jnp.floor(centers / s).astype(jnp.int32) + 1, 1, n_side - 2
+    )  # (num, 3); the clamp only re-centers the neighborhood — `reach`
+    # below is computed from the clamped cell, so coverage stays sound
+    cid = (g[:, 2] * n_side + g[:, 1]) * n_side + g[:, 0]
+    ordc = jnp.argsort(cid)  # cell-sorted rows share gather locality
+    cs, gs, cids = centers[ordc], g[ordc], cid[ordc]
+    pad = (-num) % row_block
+    if pad:
+        cs = jnp.concatenate([cs, jnp.repeat(cs[-1:], pad, axis=0)])
+        gs = jnp.concatenate([gs, jnp.repeat(gs[-1:], pad, axis=0)])
+        cids = jnp.concatenate([cids, jnp.repeat(cids[-1:], pad)])
+    off9 = jnp.asarray(
+        [
+            (dz * n_side + dy) * n_side
+            for dz in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ],
+        jnp.int32,
+    )
+
+    def one_block(args):
+        blk, gb, cb = args  # (rb, 3), (rb, 3), (rb,)
+        rb = blk.shape[0]
+        starts = cb[:, None] + off9[None, :] - 1  # (rb, 9) x-run start cells
+        slc = jax.vmap(
+            jax.vmap(
+                lambda st: jax.lax.dynamic_slice(
+                    tbl, (st, jnp.zeros((), st.dtype)), (3, 4 * cap)
+                )
+            )
+        )(starts)  # (rb, 9, 3, 4*cap)
+        gq = slc.reshape(rb, 9, 3, 4, cap)
+        lanes = 27 * cap
+        X = gq[:, :, :, 0, :].reshape(rb, lanes)
+        Y = gq[:, :, :, 1, :].reshape(rb, lanes)
+        Z = gq[:, :, :, 2, :].reshape(rb, lanes)
+        dx = blk[:, 0:1] - X
+        dy = blk[:, 1:2] - Y
+        dz = blk[:, 2:3] - Z
+        dsq = dx * dx + dy * dy + dz * dz
+        masked = jnp.where(dsq > 0.0, dsq, jnp.inf)  # self-exclusion
+        neg_top, li = jax.lax.top_k(-masked, k_search)
+        top_dsq = -neg_top
+        slot_ok = jnp.isfinite(top_dsq)
+        dist = jnp.sqrt(jnp.where(slot_ok, top_dsq, jnp.inf))
+        gi = jnp.take_along_axis(
+            gq[:, :, :, 3, :].reshape(rb, lanes), li, axis=1
+        )
+        gidx = jnp.where(slot_ok, gi, 0.0).astype(jnp.int32)
+        d_far = dist[:, -1]
+        d_far = jnp.where(jnp.isfinite(d_far), d_far, 0.0)
+        # gathered region per axis: [(g-2)s, (g+1)s) in grid coordinates
+        # (cell g spans [-s + g*s, -s + (g+1)*s))
+        lo = (gb.astype(dtype) - 2.0) * s
+        hi = (gb.astype(dtype) + 1.0) * s
+        reach = jnp.minimum(
+            jnp.min(blk - lo, axis=1), jnp.min(hi - blk, axis=1)
+        )
+        bound = jnp.where(dropped, jnp.minimum(reach, s), reach)
+        cell27 = (starts[:, :, None] + jnp.arange(3)[None, None, :]).reshape(
+            rb, 27
+        )
+        ovf27 = jnp.any(overflow[cell27], axis=1)
+        covered = (d_far < bound) & jnp.all(slot_ok, axis=-1) & ~ovf27
+        return dist, gidx, slot_ok, covered
+
+    blocks = (
+        cs.reshape(-1, row_block, 3),
+        gs.reshape(-1, row_block, 3),
+        cids.reshape(-1, row_block),
+    )
+    dist, idx, valid, covered = jax.lax.map(one_block, blocks)
+    unblk = lambda x: x.reshape((-1,) + x.shape[2:])[:num]
+    inv = jnp.zeros(num, jnp.int32).at[ordc].set(
+        jnp.arange(num, dtype=jnp.int32)
+    )
+    return (
+        unblk(dist)[inv], unblk(idx)[inv], unblk(valid)[inv], unblk(covered)[inv]
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "k_search", "row_block", "eps", "win", "topk_impl", "topk_seg", "cell_impl", "n_real", "cg"))
 def _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=None,
                    topk_impl="window", topk_seg=768, cell_impl=DEFAULT_CELL_IMPL,
-                   n_real=None):
+                   n_real=None, cg=None, box_l=None):
     """cell_impl: "clip" (default) / "triple" XLA builders, or "pallas" —
     the fused TPU kernel (ops/pallas/voronoi_cells.py), contract-identical
     to "clip". n_real: number of original (non-mirror) points leading ext
-    (None = the full 4P mirror layout, where it is ext.shape[0] // 4)."""
-    if topk_impl == "pallas":
+    (None = the full 4P mirror layout, where it is ext.shape[0] // 4).
+    topk_impl="cellgrid" uses the 3-D cell-grid candidate search with
+    static config cg=(n_side, cap) and the REAL box edge box_l (traced)."""
+    if topk_impl == "cellgrid":
+        dist, idx, valid, win_cov = _cellgrid_topk(
+            centers, ext, box_l, k_search, row_block, cg[0], cg[1]
+        )
+        nl = ops_pairs.NeighborList(dist, idx, valid, jnp.sum(valid, axis=-1))
+    elif topk_impl == "pallas":
         from waterorderlib_tpu.ops.pallas.voronoi_topk import voronoi_topk_pallas
 
         dist, idx, valid, win_cov = voronoi_topk_pallas(
@@ -709,12 +892,14 @@ _PALLAS_BROKEN: set = set()
 
 
 def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
-                    cell_impl=DEFAULT_CELL_IMPL, n_real=None):
-    """Route the candidate search: the Pallas carried-top-K kernel on TPU
-    for full-frame tiers (the XLA lax.top_k stage was the largest single
-    cost of the device tessellation), the XLA windowed/full scans
-    otherwise. Narrow fallback: a Mosaic/runtime failure logs the tier and
-    retries on the XLA window path with identical semantics."""
+                    cell_impl=DEFAULT_CELL_IMPL, n_real=None, cg=None,
+                    box_l=None):
+    """Route the candidate search: the 3-D cell-grid gather when a grid
+    config is supplied (cg=(n_side, cap) — the algorithmically cheapest
+    search, ~1.5k lanes/row regardless of N), else the Pallas carried-top-K
+    kernel on TPU for full-frame tiers, else the XLA windowed/full scans.
+    Narrow fallback: any failure logs the tier and retries the next path
+    with identical semantics."""
     import jax as _jax
 
     from waterorderlib_tpu.ops.pallas.voronoi_topk import fits_voronoi_topk
@@ -746,27 +931,36 @@ def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
     use_cells = (
         on_tpu_f32 and cell_impl == "pallas" and fits_voronoi_cells(k, k_search)
     )
-    cell_tiers = ["clip" if cell_impl == "pallas" else cell_impl]
+    base_ci = "clip" if cell_impl == "pallas" else cell_impl
+    cell_tiers = [base_ci]
     if use_cells:
         # the "always" variant has no data-dependent control flow — retried
         # if the auto kernel (lax.cond on the tangency detector) fails to
         # lower on this Mosaic version
         cell_tiers = ["pallas", "pallas_always"] + cell_tiers
-    tik = "pallas" if use_topk else "window"
-    cell_tiers = [
-        ci for ci in cell_tiers if (tik, ci, k, k_search) not in _PALLAS_BROKEN
+    attempts = []  # (topk_impl, cell_impl) in preference order
+    if cg is not None and box_l is not None:
+        attempts += [("cellgrid", ci) for ci in cell_tiers]
+    if use_topk:
+        attempts += [("pallas", ci) for ci in cell_tiers]
+    elif use_cells:
+        attempts += [("window", ci) for ci in cell_tiers if ci != base_ci]
+    attempts = [
+        a for a in attempts if (a[0], a[1], k, k_search) not in _PALLAS_BROKEN
     ]
-    for ci in cell_tiers if (use_topk or use_cells) else []:
+    for tik, ci in attempts:
         try:
             out = _cells_blocked(
                 centers, ext, box, k, k_search, row_block, eps, win=win,
-                topk_impl="pallas" if use_topk else "window", topk_seg=seg,
+                topk_impl=tik, topk_seg=seg,
                 cell_impl=ci, n_real=n_real,
+                cg=cg if tik == "cellgrid" else None,
+                box_l=box_l if tik == "cellgrid" else None,
             )
             _jax.block_until_ready(out["vol"])
             get_logger().info(
                 "voronoi cells: served by topk=%s cells=%s (n=%d, k=%d/%d)",
-                "pallas" if use_topk else "xla-window", ci, nc, k, k_search,
+                tik, ci, nc, k, k_search,
             )
             return out
         except Exception as e:  # noqa: BLE001 — any Pallas trace/lower/run
@@ -776,13 +970,13 @@ def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
             # lowering ValueError escaped this ladder)
             _PALLAS_BROKEN.add((tik, ci, k, k_search))
             get_logger().warning(
-                "voronoi pallas path failed (topk=%s cells=%s; %s: %s); "
+                "voronoi search path failed (topk=%s cells=%s; %s: %s); "
                 "trying the next tier",
-                use_topk, ci, type(e).__name__, e,
+                tik, ci, type(e).__name__, e,
             )
     return _cells_blocked(
         centers, ext, box, k, k_search, row_block, eps, win=win,
-        cell_impl=cell_impl, n_real=n_real,
+        cell_impl=base_ci, n_real=n_real,
     )
 
 
@@ -820,6 +1014,7 @@ def voronoi_cells_device(
     win: int | None = None,
     cell_impl: str = DEFAULT_CELL_IMPL,
     prune_mirrors: bool | None = None,
+    cg="auto",
 ):
     """Per-cell Voronoi moments for the first `num` points on device.
 
@@ -834,6 +1029,13 @@ def voronoi_cells_device(
     requires 2*R_cell <= margin_eff, so exactness is unchanged and the few
     extra uncertified rows ride the escalation ladder.
 
+    cg: "auto" (default) sizes a 3-D cell-grid candidate search
+    (`_suggest_cellgrid` — escalation subsets get a wider grid edge since
+    they are density-tail rows); an explicit (n_side, cap) forces one;
+    None disables it (z-window / full-scan search). When the grid is
+    active, mirror pruning is skipped — the grid drops deep mirrors for
+    free, with a stronger certificate bound.
+
     Returns a dict of jnp arrays: vol (num,), area (num,), face_area
     (num, k), face_nverts (num, k), nbr_idx (num, k_search) indices into the
     FULL mirrored candidate set (original point = idx % P), r_cell (num,),
@@ -846,10 +1048,15 @@ def voronoi_cells_device(
     if k_search < k:
         raise ValueError(f"k_search={k_search} must be >= k={k}")
     p_real = int(pts.shape[0])
+    if cg == "auto":
+        cg = _suggest_cellgrid(
+            p_real, float(box_l), k_search,
+            s_factor=1.12 if centers_idx is None else 1.4,
+        )
     use_prune = (
         prune_mirrors
         if prune_mirrors is not None
-        else (centers_idx is None and p_real >= 2048)
+        else (cg is None and centers_idx is None and p_real >= 2048)
     )
     ext_map = margin_eff = None
     budget = _suggest_mirror_budget(p_real, float(box_l), k_search)
@@ -884,6 +1091,7 @@ def voronoi_cells_device(
         centers, ext, box, k, k_search, min(row_block, max(1, nc)), float(eps),
         win, cell_impl=cell_impl,
         n_real=p_real if ext_map is not None else None,
+        cg=cg, box_l=jnp.asarray(box_l, pts.dtype),
     )
     d_far = out["nbr_dist"][:, -1]  # +inf when fewer than K candidates exist
     cert = out["ok_shape"] & out["win_covered"] & (d_far >= 2.0 * out["r_cell"])
@@ -1014,12 +1222,15 @@ def _escalate_and_close(points, box_l, num, vol, area, cert, tier_rows,
         )
         # row_block clamps to the BUCKETED subset size inside
         # voronoi_cells_device — shrinking it to the raw count here would
-        # reintroduce a per-frame-varying static shape
+        # reintroduce a per-frame-varying static shape. The LAST tier must
+        # full-scan (a coverage veto there would force a host fallback), so
+        # it disables the cell-grid search as well as the z-window.
         out2 = voronoi_cells_device(
             points, box_l, num, k=k2, k_search=ks2,
             row_block=row_block, centers_idx=bad_idx,
             win=win_t,
             cell_impl=cell_impl,
+            cg=None if is_last(tier) else "auto",
         )
         tier_rows.append((bad_idx, out2))
         c2 = np.asarray(out2["certified"])
@@ -1044,14 +1255,17 @@ def _escalate_and_close(points, box_l, num, vol, area, cert, tier_rows,
 
 def _tier1_pure(points, box_l, num: int, k: int, k_search: int,
                 row_block: int, eps: float, win: int, topk_impl: str,
-                topk_seg: int, cell_impl: str, mirror_budget: int = 0):
+                topk_seg: int, cell_impl: str, mirror_budget: int = 0,
+                cg=None):
     """Traceable tier-1 cells for ONE frame: mirror construction + top-K
     candidate search + cell moments + the exactness certificate, with no
     host control flow (the graceful kernel-fallback ladder lives in
     `_dispatch_cells`; batched callers pick the impls once and retry the
     whole batch on failure). mirror_budget > 0 searches the depth-pruned
-    mirror set (see `mirror_points_pruned`). Returns (vol (num,),
-    area (num,), certified (num,))."""
+    mirror set (see `mirror_points_pruned`); topk_impl="cellgrid" takes
+    the static cg=(n_side, cap) grid instead (full mirror set — the grid
+    drops deep mirrors itself). Returns (vol (num,), area (num,),
+    certified (num,))."""
     pts = jnp.asarray(points)
     if mirror_budget > 0:
         ext, _, margin_eff = mirror_points_pruned(pts, box_l, mirror_budget)
@@ -1062,6 +1276,7 @@ def _tier1_pure(points, box_l, num: int, k: int, k_search: int,
         pts[:num], ext, box, k, k_search, row_block, eps, win=win,
         topk_impl=topk_impl, topk_seg=topk_seg, cell_impl=cell_impl,
         n_real=pts.shape[0] if mirror_budget > 0 else None,
+        cg=cg, box_l=jnp.asarray(box_l, pts.dtype),
     )
     d_far = out["nbr_dist"][:, -1]
     cert = out["ok_shape"] & out["win_covered"] & (d_far >= 2.0 * out["r_cell"])
@@ -1107,7 +1322,7 @@ def voronoi_volumes_hybrid_frames(
     if cell_impl == "triple":
         tiers = tuple(t for t in tiers if t[0] <= 64)
     k0, ks0 = tiers[0][:2]
-    eps, win, seg, attempts, mb = _batch_static_config(
+    eps, win, seg, attempts, mb, cg = _batch_static_config(
         pos_batch, box_ls, k0, ks0, cell_impl, nc=num
     )
 
@@ -1123,6 +1338,8 @@ def voronoi_volumes_hybrid_frames(
 
     vol_b = area_b = cert_b = None
     for ti, ci in attempts:
+        cg_t = cg if ti == "cellgrid" else None
+        mb_t = 0 if ti == "cellgrid" else mb
         try:
             if mesh is not None:
                 from waterorderlib_tpu.parallel.mesh import sharded_voronoi_tier1
@@ -1131,12 +1348,12 @@ def voronoi_volumes_hybrid_frames(
                     pb, bl, mesh, num=num, k=k0, k_search=ks0,
                     row_block=row_block, eps=float(eps), win=int(win),
                     topk_impl=ti, topk_seg=seg, cell_impl=ci,
-                    mirror_budget=mb,
+                    mirror_budget=mb_t, cg=cg_t,
                 )
             else:
                 vol_j, area_j, cert_j = _tier1_frames_local(
                     pb, bl, num, k0, ks0, row_block, float(eps), int(win),
-                    ti, seg, ci, mb,
+                    ti, seg, ci, mb_t, cg_t,
                 )
             _jax.block_until_ready(vol_j)
             log_once(
@@ -1178,9 +1395,12 @@ def voronoi_volumes_hybrid_frames(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "ks", "row_block", "eps", "win", "ti", "seg", "ci"),
+    static_argnames=(
+        "k", "ks", "row_block", "eps", "win", "ti", "seg", "ci", "cg"
+    ),
 )
-def _tier_subset_frames(pb, bl, rows, k, ks, row_block, eps, win, ti, seg, ci):
+def _tier_subset_frames(pb, bl, rows, k, ks, row_block, eps, win, ti, seg, ci,
+                        cg=None):
     """One escalation tier for selected rows of EVERY frame in one jitted
     call (full mirror set — escalation never prunes). rows: (F, B) center
     indices, bucket-padded per frame. Returns per-frame (vol, area, cert)
@@ -1193,6 +1413,7 @@ def _tier_subset_frames(pb, bl, rows, k, ks, row_block, eps, win, ti, seg, ci):
         out = _cells_blocked(
             p[r], ext, box, k, ks, row_block, eps, win=win,
             topk_impl=ti, topk_seg=seg, cell_impl=ci,
+            cg=cg, box_l=b if cg is not None else None,
         )
         d_far = out["nbr_dist"][:, -1]
         cert = (
@@ -1220,6 +1441,8 @@ def _escalate_frames_batched(pos_batch, box_ls, vol_b, area_b, cert_b,
     from waterorderlib_tpu.ops.pallas.voronoi_topk import fits_voronoi_topk
     from waterorderlib_tpu.utils.logging import get_logger
 
+    from waterorderlib_tpu.ops.pallas.voronoi_cells import fits_voronoi_cells
+
     F, n_pts = pos_batch.shape[0], pos_batch.shape[1]
     payload = [[] for _ in range(F)]
     if not tiers_rest:
@@ -1236,6 +1459,15 @@ def _escalate_frames_batched(pos_batch, box_ls, vol_b, area_b, cert_b,
     tiers_rest = tuple(tiers_rest)
     for tier in tiers_rest:
         k2, ks2 = tier[:2]
+        # per-tier cell impl: the opt-in fused kernel only fits VMEM at the
+        # narrow tiers — map it to the XLA clip builder elsewhere (same
+        # contract), exactly as _dispatch_cells / _batch_static_config do
+        ci_t = cell_impl
+        if cell_impl == "pallas" and (
+            not fits_voronoi_cells(k2, ks2)
+            or ("pallas_cells", cell_impl, k2, ks2) in _PALLAS_BROKEN
+        ):
+            ci_t = "clip"
         bad_rows = [np.where(~cert_b[t])[0] for t in range(F)]
         max_bad = max(len(b) for b in bad_rows)
         if max_bad == 0:
@@ -1259,28 +1491,43 @@ def _escalate_frames_batched(pos_batch, box_ls, vol_b, area_b, cert_b,
              if fits_voronoi_topk(128, s, ks2, p4_pad, num=bucket)),
             0,
         )
-        ti2 = "pallas" if (
-            on_tpu_f32 and bucket >= 256 and seg2 > 0 and p4 >= 4096
-            and ("pallas", cell_impl, k2, ks2) not in _PALLAS_BROKEN
-        ) else "window"
+        # density-tail rows escalate, so the subset grid uses a wider edge
+        cg2 = (
+            None if tier is tiers_rest[-1]  # last tier full-scans (no veto)
+            else _suggest_cellgrid(n_pts, box_min, ks2, s_factor=1.4)
+        )
+        if cg2 is not None and ("cellgrid", ci_t, k2, ks2) not in _PALLAS_BROKEN:
+            ti2 = "cellgrid"
+        else:
+            cg2 = None
+            ti2 = "pallas" if (
+                on_tpu_f32 and bucket >= 256 and seg2 > 0 and p4 >= 4096
+                and ("pallas", ci_t, k2, ks2) not in _PALLAS_BROKEN
+            ) else "window"
         rb = min(256, bucket)
         win_arg = int(win_t) if win_t > 0 else None  # None/0 = full scan
         try:
             res = _tier_subset_frames(
                 pb, bl, jnp.asarray(rows_np), k2, ks2, rb, float(eps),
-                win_arg, ti2, seg2, cell_impl,
+                win_arg, ti2, seg2, ci_t, cg2,
             )
             _jax.block_until_ready(res[0])
         except Exception as e:  # noqa: BLE001 — Mosaic/runtime: XLA retry
-            _PALLAS_BROKEN.add((ti2, cell_impl, k2, ks2))
+            # poison BOTH the topk and (when it was a Pallas cells attempt)
+            # the cell-impl choice for this tier, so subsequent frames never
+            # re-pay the failed compile; the retry runs fully on XLA
+            _PALLAS_BROKEN.add((ti2, ci_t, k2, ks2))
+            if ci_t == "pallas":
+                _PALLAS_BROKEN.add(("pallas_cells", cell_impl, k2, ks2))
             get_logger().warning(
                 "voronoi batched escalation tier (%d, %d) failed on "
-                "topk=%s (%s: %s); retrying on the XLA window path",
-                k2, ks2, ti2, type(e).__name__, e,
+                "topk=%s cells=%s (%s: %s); retrying on the XLA paths",
+                k2, ks2, ti2, ci_t, type(e).__name__, e,
             )
             res = _tier_subset_frames(
                 pb, bl, jnp.asarray(rows_np), k2, ks2, rb, float(eps),
-                win_arg, "window", 0, cell_impl,
+                win_arg, "window", 0,
+                "clip" if ci_t == "pallas" else ci_t,
             )
         vol2, area2, cert2, nd, nidx, nvalid, wcov = (
             np.asarray(x) for x in res
@@ -1304,18 +1551,19 @@ def _escalate_frames_batched(pos_batch, box_ls, vol_b, area_b, cert_b,
 @partial(
     jax.jit,
     static_argnames=(
-        "num", "k", "ks", "row_block", "eps", "win", "ti", "seg", "ci", "mb"
+        "num", "k", "ks", "row_block", "eps", "win", "ti", "seg", "ci", "mb",
+        "cg",
     ),
 )
 def _tier1_frames_local(pb, bl, num, k, ks, row_block, eps, win, ti, seg, ci,
-                        mb=0):
+                        mb=0, cg=None):
     """Unsharded frame batch: one jitted lax.map over frames (one compile,
     one host sync for the whole batch)."""
 
     def one(args):
         p, b = args
         return _tier1_pure(
-            p, b, num, k, ks, row_block, eps, win, ti, seg, ci, mb
+            p, b, num, k, ks, row_block, eps, win, ti, seg, ci, mb, cg
         )
 
     return jax.lax.map(one, (pb, bl))
@@ -1324,12 +1572,16 @@ def _tier1_frames_local(pb, bl, num, k, ks, row_block, eps, win, ti, seg, ci,
 def _batch_static_config(pos_batch, box_ls, k0: int, ks0: int,
                          cell_impl: str, nc: int):
     """Static dispatch config for a frame-batched tier-1: (eps, win, seg,
-    attempts, mirror_budget). Chosen once for the whole batch exactly like
-    _dispatch_cells picks them per call; a Mosaic/runtime failure logs and
-    retries the WHOLE batch on the next (topk, cells) attempt. `nc` is the
-    per-frame center count (the Pallas kernels only pay off above ~256
+    attempts, mirror_budget, cg). Chosen once for the whole batch exactly
+    like _dispatch_cells picks them per call; a Mosaic/runtime failure logs
+    and retries the WHOLE batch on the next (topk, cells) attempt. `nc` is
+    the per-frame center count (the Pallas kernels only pay off above ~256
     rows). mirror_budget > 0 means every frame searches the depth-pruned
-    mirror set (certificates cap at the margin, so exactness holds)."""
+    mirror set (certificates cap at the margin, so exactness holds); it is
+    0 whenever the cell-grid search (cg) is available — the grid drops deep
+    mirrors itself, and per-frame traced cell edges keep the certificate
+    sound across NPT box variation (n_side/cap are sized at the smallest
+    box = densest frame)."""
     import jax as _jax
 
     from waterorderlib_tpu.ops.pallas.voronoi_cells import fits_voronoi_cells
@@ -1337,9 +1589,10 @@ def _batch_static_config(pos_batch, box_ls, k0: int, ks0: int,
 
     n_pts = pos_batch.shape[1]
     eps = 1e-10 if jnp.asarray(pos_batch[:1, :1]).dtype == jnp.float64 else 1e-4
+    cg = _suggest_cellgrid(n_pts, float(np.min(box_ls)), ks0)
     budget = (
         _suggest_mirror_budget(n_pts, float(np.min(box_ls)), ks0)
-        if n_pts >= 2048
+        if (n_pts >= 2048 and cg is None)
         else 0
     )
     p4 = 4 * n_pts if budget == 0 else n_pts + budget
@@ -1353,20 +1606,22 @@ def _batch_static_config(pos_batch, box_ls, k0: int, ks0: int,
     )
     attempts = []
     base_ci = "clip" if cell_impl == "pallas" else cell_impl
-    if on_tpu_f32:
-        ti = "pallas" if (p4 >= 4096 and seg > 0) else "window"
+    cells_tiers = [base_ci]
+    if on_tpu_f32 and cell_impl == "pallas" and fits_voronoi_cells(k0, ks0):
         # fused cells kernel is opt-in (measured slower than the XLA clip
         # path on-chip, r4 — see _dispatch_cells)
-        if cell_impl == "pallas" and fits_voronoi_cells(k0, ks0):
-            attempts += [(ti, "pallas"), (ti, "pallas_always")]
-        if (ti, base_ci) not in attempts:
-            attempts.append((ti, base_ci))
+        cells_tiers = ["pallas", "pallas_always", base_ci]
+    if cg is not None:
+        attempts += [("cellgrid", ci) for ci in cells_tiers]
+    if on_tpu_f32:
+        ti = "pallas" if (p4 >= 4096 and seg > 0) else "window"
+        attempts += [(ti, ci) for ci in cells_tiers if (ti, ci) not in attempts]
     if ("window", base_ci) not in attempts:
         attempts.append(("window", base_ci))
     attempts = [
         a for a in attempts if (a[0], a[1], k0, ks0) not in _PALLAS_BROKEN
     ] or [("window", base_ci)]
-    return eps, win, seg, attempts, budget
+    return eps, win, seg, attempts, budget, cg
 
 
 _CONTACTS_TIER1_KEYS = (
@@ -1377,7 +1632,7 @@ _CONTACTS_TIER1_KEYS = (
 
 def _tier1_contacts_full(points, box_l, sel, num, k, k_search, row_block,
                          eps, win, topk_impl, topk_seg, cell_impl,
-                         mirror_budget: int = 0):
+                         mirror_budget: int = 0, cg=None):
     """Traceable tier-1 cells WITH the face payload for ONE frame's
     selected center rows (`sel`, fixed length): the contacts analog of
     `_tier1_pure`. Returns the `_CONTACTS_TIER1_KEYS` tuple — everything
@@ -1397,6 +1652,7 @@ def _tier1_contacts_full(points, box_l, sel, num, k, k_search, row_block,
         centers, ext, box, k, k_search, row_block, eps, win=win,
         topk_impl=topk_impl, topk_seg=topk_seg, cell_impl=cell_impl,
         n_real=pts.shape[0] if mirror_budget > 0 else None,
+        cg=cg, box_l=jnp.asarray(box_l, pts.dtype),
     )
     d_far = out["nbr_dist"][:, -1]
     cert = out["ok_shape"] & out["win_covered"] & (d_far >= 2.0 * out["r_cell"])
@@ -1413,18 +1669,19 @@ def _tier1_contacts_full(points, box_l, sel, num, k, k_search, row_block,
 @partial(
     jax.jit,
     static_argnames=(
-        "num", "k", "ks", "row_block", "eps", "win", "ti", "seg", "ci", "mb"
+        "num", "k", "ks", "row_block", "eps", "win", "ti", "seg", "ci", "mb",
+        "cg",
     ),
 )
 def _tier1_contacts_frames_local(pb, bl, sel, num, k, ks, row_block, eps,
-                                 win, ti, seg, ci, mb=0):
+                                 win, ti, seg, ci, mb=0, cg=None):
     """Unsharded contacts tier-1 frame batch: one jitted lax.map over
     frames (one compile, one host sync for the whole batch)."""
 
     def one(args):
         p, b = args
         return _tier1_contacts_full(
-            p, b, sel, num, k, ks, row_block, eps, win, ti, seg, ci, mb
+            p, b, sel, num, k, ks, row_block, eps, win, ti, seg, ci, mb, cg
         )
 
     return jax.lax.map(one, (pb, bl))
@@ -1472,7 +1729,7 @@ def voronoi_contacts_hybrid_frames(
         [sel_rows, np.full(bucket - n_want, sel_rows[0] if n_want else 0, int)]
     )
     k0, ks0 = tiers[0][:2]
-    eps, win, seg, attempts, mb = _batch_static_config(
+    eps, win, seg, attempts, mb, cg = _batch_static_config(
         pos_batch, box_ls, k0, ks0, cell_impl, nc=bucket
     )
     rb = min(row_block, bucket)
@@ -1490,6 +1747,8 @@ def voronoi_contacts_hybrid_frames(
 
     batch = None
     for ti, ci in attempts:
+        cg_t = cg if ti == "cellgrid" else None
+        mb_t = 0 if ti == "cellgrid" else mb
         try:
             if mesh is not None:
                 from waterorderlib_tpu.parallel.mesh import (
@@ -1500,12 +1759,12 @@ def voronoi_contacts_hybrid_frames(
                     pb, bl, sel_j, mesh, num=num, k=k0, k_search=ks0,
                     row_block=rb, eps=float(eps), win=int(win),
                     topk_impl=ti, topk_seg=seg, cell_impl=ci,
-                    mirror_budget=mb,
+                    mirror_budget=mb_t, cg=cg_t,
                 )
             else:
                 res = _tier1_contacts_frames_local(
                     pb, bl, sel_j, num, k0, ks0, rb, float(eps), int(win),
-                    ti, seg, ci, mb,
+                    ti, seg, ci, mb_t, cg_t,
                 )
             _jax.block_until_ready(res[0])
             log_once(
@@ -1701,6 +1960,7 @@ def _contacts_escalate_and_close(points, box_l, num, sel_rows, vol, area,
             row_block=row_block, centers_idx=bad_idx,
             win=win_t,
             cell_impl=cell_impl,
+            cg=None if is_last(tier) else "auto",  # last tier: full scan
         )
         tier_rows.append((bad_idx, out2))
         c2 = np.asarray(out2["certified"])
