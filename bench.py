@@ -40,6 +40,22 @@ N_WATERS = 4096
 N_FRAMES = 1024
 HIGH_CUT = 10.0
 
+# Roofline ceilings for this chip (TPU v5e, 1 core) — VERDICT r4 item 5:
+#   VPU  ~3.9e12 f32 elementwise ops/s (8x128 lanes x ~4 slots x 0.94 GHz)
+#   MXU  197e12 bf16 FLOP/s
+#   HBM  819 GB/s; relay dispatch round-trip ~40 ms
+# The workload is compare/select-shaped: every hot kernel except SASA binds
+# on the VPU (the two MXU experiments measurably lost on-chip, PERF.md r4),
+# so MXU-denominated MFU is ~0% BY DESIGN and the honest utilization figure
+# is VPU ops/s. Sequential K-round extraction chains and threshold chains
+# carry loop-carried dependencies, so their practical ceiling sits well
+# below the elementwise peak (the RDF chain measured ~0.65 Tops/s in r2 and
+# did not improve with fewer visited lanes).
+VPU_TOPS = 3.9
+MXU_TFLOPS = 197.0
+HBM_GBPS = 819.0
+RTT_MS = 40.0
+
 
 def measure_baseline() -> float:
     exe = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native", "baseline_qtet")
@@ -148,7 +164,15 @@ def headline():
             return q, h
 
     sec_per_frame, spread = _time_batch(q_fn, pos_d, boxes_d, N_FRAMES)
-    return 1.0 / sec_per_frame, spread, impl
+    # headline op model: N rows x window lanes x (8-op distance + 3 ops per
+    # K=4 extraction round) + 6 neighbor pairs x ~20-op angle epilogue
+    w_eff = N_WATERS
+    if impl == "traj-slab-certified":
+        from waterorderlib_tpu.ops.pallas import qtet2 as _q2
+
+        w_eff = _q2.suggest_window(N_WATERS, box_len)
+    ops = N_WATERS * (w_eff * (8 + 3 * 4) + 6 * 20)
+    return 1.0 / sec_per_frame, spread, impl, ops
 
 
 def breakdown():
@@ -160,12 +184,20 @@ def breakdown():
     from waterorderlib_tpu.hbonds import bonds
     from waterorderlib_tpu.ops import pairs
 
+    import time as _time
+
     F = 32
     pos, boxes, box_len = _make_traj(N_WATERS, F, seed=1)
     pos_d = jax.device_put(pos)
     boxes_d = jax.device_put(boxes)
     out = {}
     on_tpu = jax.devices()[0].platform == "tpu"
+    # shared Voronoi fixture + the round-2 host-path baseline at 12k — at
+    # breakdown scope so each voronoi block fails independently with its
+    # own error instead of a NameError from an earlier failed block
+    VS_HOST_MS_12K = 2050.0
+    nv = 12288
+    posv, _, boxv = _make_traj(nv, 3, seed=5)
 
     def scan_fn(per_frame):
         @jax.jit
@@ -232,17 +264,43 @@ def breakdown():
             lambda p, b: pairs.distance_histogram(p, p, b, 0.1, 150, same=True, row_block=512)
         ),
     }
-    def entry(ms, n_atoms, frames, **extra):
+    def entry(ms, n_atoms, frames, ops=None, bound=None, **extra):
         # self-describing breakdown entries (VERDICT r2 item 9): every
         # number carries the config it was measured at
         e = {"ms_per_frame": round(ms, 2), "n_atoms": n_atoms, "frames": frames}
+        # roofline accounting (VERDICT r4 item 5): `ops` is an explicit
+        # per-frame op-count model (stated per case where passed; compares,
+        # selects, and FMAs each count as ONE op — PERF.md's RDF
+        # convention); `bound` names the binding resource. roofline_frac is
+        # achieved/ceiling against that resource's peak.
+        if on_tpu and ops is not None:
+            tops = ops / (ms * 1e-3) / 1e12
+            ceil = MXU_TFLOPS if (bound or "").startswith("mxu") else VPU_TOPS
+            e["achieved_tops"] = round(tops, 3)
+            e["roofline_frac"] = round(tops / ceil, 4)
+        if on_tpu and bound is not None:
+            e["bound"] = bound
         e.update(extra)
         return e
 
+    # per-frame op-count models for the slab kernels (window lanes x
+    # (8-op distance + 3 ops per K-extraction round) per row, plus the
+    # per-row epilogue); hbonds is the full Na x Nd sweep with the fused
+    # cos-threshold angle test; rdf is N^2/2 pairs x (nbins+1) threshold
+    # compares (the PERF.md r2 convention)
+    N = N_WATERS
+    RL = {
+        "three_body": (N * (1536 * (8 + 3 * 16) + 120 * 30), "vpu-compare"),
+        "lsi": (N * (2048 * (8 + 3 * 24) + 24 * 8), "vpu-compare"),
+        "psi6": (N * (2048 * (8 + 3 * 24) + 24 * 25), "vpu-compare"),
+        "hbonds": (N * N * 20, "vpu-compare"),
+        "rdf": ((N * N // 2) * 151, "vpu-compare"),
+    }
     for name, fn in cases.items():
         try:
             sec, _ = _time_batch(fn, pos_d, boxes_d, F, iters=4)
-            out[name] = entry(sec * 1e3, N_WATERS, F)
+            ops, bound = RL.get(name, (None, None))
+            out[name] = entry(sec * 1e3, N_WATERS, F, ops=ops, bound=bound)
         except Exception as e:
             out[name] = f"failed: {type(e).__name__}"
 
@@ -303,7 +361,13 @@ def breakdown():
                 return res
 
         sec, _ = _time_batch(willard, posw, boxesw, Fw, iters=3)
-        out["willard"] = entry(sec * 1e3, N_WATERS, Fw, grid="81^3")
+        # 81^3 grid points x (x-window candidates) x (8-op distance +
+        # ~10-op exp + accumulate); transcendental-heavy -> VPU-bound
+        w_eff = wxw if (on_tpu and wxw) else N_WATERS
+        out["willard"] = entry(
+            sec * 1e3, N_WATERS, Fw, grid="81^3",
+            ops=81 ** 3 * w_eff * 20, bound="vpu-exp",
+        )
     except Exception as e:
         out["willard"] = f"failed: {type(e).__name__}"
 
@@ -330,7 +394,14 @@ def breakdown():
             return res
 
         sec, _ = _time_batch(sasa_fn, poss, boxess, Fs, iters=3)
-        out["sasa"] = entry(sec * 1e3, N_WATERS, Fs, n_sphere_points=1000)
+        # the (points - occluders)^2 reduce is XLA-expanded into a
+        # (N*P, 3) x (3, K) dot (|p|^2 - 2 p.c + |c|^2): count the matmul
+        # flops (N x P x K x 2 x 3) — the naive elementwise count exceeds
+        # the VPU peak 50x at the measured time, so the MXU serves this
+        out["sasa"] = entry(
+            sec * 1e3, N_WATERS, Fs, n_sphere_points=1000,
+            ops=N_WATERS * 1000 * 128 * 6, bound="mxu-xla-expanded-dot",
+        )
     except Exception as e:
         out["sasa"] = f"failed: {type(e).__name__}"
 
@@ -380,8 +451,6 @@ def breakdown():
         sph = jax.jit(sph_once)
         r0 = sph(pos_d[0])
         jax.block_until_ready(r0)
-        import time as _time
-
         best = float("inf")
         for i in range(3):
             t0 = _time.time()
@@ -398,13 +467,9 @@ def breakdown():
     try:
         from waterorderlib_tpu.surface.voronoi_device import voronoi_cells_device
 
-        nv = 12288
-        posv, _, boxv = _make_traj(nv, 3, seed=5)
         # tier-1 production config (DEFAULT_TIERS[0]): k=32, k_search=64
         r = voronoi_cells_device(posv[0], boxv, nv)
         ncert = int(np.asarray(r["certified"]).sum())
-        import time as _time
-
         best = float("inf")
         for i in range(3):
             t0 = _time.time()
@@ -412,7 +477,8 @@ def breakdown():
             _ = np.asarray(r["vol"][:8])
             best = min(best, _time.time() - t0)
         out["voronoi_device"] = entry(
-            best * 1e3, nv, 1, certified_frac=round(ncert / nv, 4)
+            best * 1e3, nv, 1, certified_frac=round(ncert / nv, 4),
+            bound="dispatch-rtt",
         )
     except Exception as e:
         out["voronoi_device"] = f"failed: {type(e).__name__}"
@@ -436,7 +502,7 @@ def breakdown():
             best = min(best, _time.time() - t0)
         out["voronoi_hybrid_e2e"] = entry(
             best * 1e3, nv, 1, certified_frac=round(int(nc) / nv, 4),
-            vs_host_ms=2050.0,
+            vs_host_ms=VS_HOST_MS_12K, bound="dispatch-rtt",
         )
     except Exception as e:
         out["voronoi_hybrid_e2e"] = f"failed: {type(e).__name__}"
@@ -461,13 +527,60 @@ def breakdown():
                 np.mod(posvf + np.float32(1e-3 * (i + 1)), boxv), blsv, nv
             )
             best = min(best, (_time.time() - t0) / Fv)
+        # tier-1 cell-grid search op model: rows x 27*cap lanes x (8-op
+        # distance + 3 ops per K_search extraction round); escalation +
+        # cells step excluded, so this is the search-stage utilization
+        from waterorderlib_tpu.surface.voronoi_device import _suggest_cellgrid
+
+        cgb = _suggest_cellgrid(nv, float(boxv), 64)
+        ops_v = (
+            nv * 27 * cgb[1] * (8 + 3 * 64) if cgb is not None else None
+        )
         out["voronoi_frames_e2e"] = entry(
             best * 1e3, nv, Fv,
             certified_frac=round(int(np.asarray(certb).sum()) / (nv * Fv), 4),
-            vs_host_ms=2050.0,
+            vs_host_ms=VS_HOST_MS_12K,
+            ops=ops_v, bound="vpu-compare (tier-1 search; + escalation)",
         )
     except Exception as e:
         out["voronoi_frames_e2e"] = f"failed: {type(e).__name__}"
+
+    # frames-batched Voronoi CONTACTS at 12k, device engine (VERDICT r4
+    # item 7: the second judged Voronoi workload,
+    # surface_library.py:245-307; host figure 0.45 s/frame at 1k) — 128
+    # solute rows per frame, the contact callers' shape
+    try:
+        from waterorderlib_tpu.surface.voronoi_device import (
+            voronoi_contacts_hybrid_frames,
+        )
+
+        Fc = 4
+        posvc, _, _ = _make_traj(nv, Fc, seed=7)
+        blsc = np.full((Fc,), boxv, np.float32)
+        rows_c = np.arange(128)
+
+        def run_contacts(pb):
+            ncert = 0
+            for cont, aa, wa, av, nc in voronoi_contacts_hybrid_frames(
+                pb, blsc, nv, rows=rows_c
+            ):
+                ncert += int(nc)
+            return ncert
+
+        run_contacts(posvc)  # warm the jits
+        best = float("inf")
+        ncert = 0
+        for i in range(2):
+            t0 = _time.time()
+            ncert = run_contacts(np.mod(posvc + np.float32(1e-3 * (i + 1)), boxv))
+            best = min(best, (_time.time() - t0) / Fc)
+        out["voronoi_contacts_e2e"] = entry(
+            best * 1e3, nv, Fc, n_rows=128,
+            certified_frac=round(ncert / (128 * Fc), 4),
+            vs_host_1k_ms=450.0, bound="dispatch-rtt (128-row frames)",
+        )
+    except Exception as e:
+        out["voronoi_contacts_e2e"] = f"failed: {type(e).__name__}"
     return out
 
 
@@ -507,7 +620,7 @@ def main():
             "detail": detail,
         }))
         return 0
-    fps, spread, impl = headline()
+    fps, spread, impl, ops = headline()
     result = {
         "metric": "qtet_frames_per_sec_per_chip",
         "value": round(fps, 2),
@@ -515,6 +628,10 @@ def main():
         "vs_baseline": round(fps / measure_baseline(), 2),
         "spread_pct": round(100 * spread, 1),
         "impl": impl,
+        # roofline: compare/select-shaped -> VPU-bound (see breakdown)
+        "achieved_tops": round(ops * fps / 1e12, 3),
+        "roofline_frac": round(ops * fps / 1e12 / VPU_TOPS, 4),
+        "bound": "vpu-compare",
     }
     if os.environ.get("BENCH_BREAKDOWN", "1") != "0":
         result["breakdown"] = breakdown()

@@ -8,8 +8,11 @@ Stages: tier1 frames frames_wide big contacts (default: all)
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

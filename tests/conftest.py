@@ -8,13 +8,19 @@ substitute for a real pod slice. Must run before jax is imported anywhere.
 import os
 import sys
 
-# The ambient environment pins JAX_PLATFORMS to the TPU plugin; only
-# JAX_PLATFORM_NAME reliably overrides it, so force both.
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# WOL_TEST_TPU=1 leaves the ambient TPU backend in place so the
+# @needs_tpu-marked kernel parity tests run ON-CHIP (the committed
+# TPUTESTS_r* artifact); default is the spoofed 8-device CPU mesh.
+_ON_CHIP = os.environ.get("WOL_TEST_TPU") == "1"
+
+if not _ON_CHIP:
+    # The ambient environment pins JAX_PLATFORMS to the TPU plugin; only
+    # JAX_PLATFORM_NAME reliably overrides it, so force both.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 # The TPU-plugin sitecustomize imports jax at interpreter startup, BEFORE
 # this conftest runs — jax's config captures JAX_PLATFORMS at import time,
@@ -24,7 +30,8 @@ if "xla_force_host_platform_device_count" not in flags:
 # yet initialized at conftest time, so XLA_FLAGS still takes effect.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_CHIP:
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(__file__))
 

@@ -252,6 +252,94 @@ def test_lsi_kernel_matches_xla():
         np.testing.assert_array_equal(np.asarray(cnt[t]), np.asarray(ref.count))
 
 
+def test_lsi_split_interpret_matches_xla():
+    """The split-shell LSI kernel (narrow in-shell extraction + wide
+    next-shell min) matches the XLA reference in interpret mode on any
+    backend, and its count certificate covers the liquid fixture."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+    from waterorderlib_tpu.ops.pallas import lsi_slab2
+    from waterorderlib_tpu.order import lsi as lsi_mod
+
+    n, f = 1024, 2
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    rs = np.random.RandomState(29)
+    base = water_oxygen_lattice(n, box_len, seed=29)
+    pos = jnp.asarray(
+        np.stack([np.mod(base + rs.normal(scale=0.1, size=base.shape), box_len)
+                  for _ in range(f)]), jnp.float32)
+    boxes = jnp.asarray(np.tile(np.array([box_len] * 3, np.float32), (f, 1)))
+    with pltpu.force_tpu_interpret_mode():
+        v, ok, cnt, covered = lsi_slab2.lsi_traj_split(
+            pos, boxes, 0.0, 3.7, window_narrow=768, window_wide=1024,
+            pad=512, seg=256,
+        )
+    assert bool(np.all(np.asarray(covered)))
+    for t in range(f):
+        ref = lsi_mod.lsi(pos[t], pos[t], boxes[t], 0.0, 3.7, k=24,
+                          row_block=512)
+        np.testing.assert_array_equal(np.asarray(ok[t]), np.asarray(ref.valid))
+        np.testing.assert_allclose(np.asarray(v[t]), np.asarray(ref.lsi),
+                                   atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(cnt[t]),
+                                      np.asarray(ref.count))
+
+
+def test_lsi_split_count_certificate_vetoes():
+    """A row with more than K_IN in-shell neighbors must flip the frame's
+    covered flag (the count certificate) instead of returning silently
+    wrong values."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+    from waterorderlib_tpu.ops.pallas import lsi_slab2
+
+    n = 512
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    rs = np.random.RandomState(7)
+    base = water_oxygen_lattice(n, box_len, seed=7)
+    pos = np.mod(base + rs.normal(scale=0.1, size=base.shape), box_len)
+    # a 16-member cluster inside one 3.7 A shell around pos[0]
+    cluster = pos[0] + rs.normal(scale=1.2, size=(16, 3))
+    pos[-16:] = np.clip(cluster, 0.0, box_len - 1e-3)
+    pos = jnp.asarray(pos[None], jnp.float32)
+    boxes = jnp.asarray(np.array([[box_len] * 3], np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        v, ok, cnt, covered = lsi_slab2.lsi_traj_split(
+            pos, boxes, 0.0, 3.7, window_narrow=512, window_wide=512,
+            pad=256, seg=256,
+        )
+    assert not bool(np.asarray(covered)[0])
+
+
+@needs_tpu
+def test_lsi_split_on_tpu_matches_xla():
+    from waterorderlib_tpu.io.synthetic import water_oxygen_lattice
+    from waterorderlib_tpu.ops.pallas import lsi_slab2
+    from waterorderlib_tpu.order import lsi as lsi_mod
+
+    n, f = 4096, 2
+    box_len = (n / 0.033456) ** (1.0 / 3.0)
+    rs = np.random.RandomState(31)
+    base = water_oxygen_lattice(n, box_len, seed=31)
+    pos = jnp.asarray(
+        np.stack([np.mod(base + rs.normal(scale=0.35, size=base.shape),
+                         box_len) for _ in range(f)]), jnp.float32)
+    boxes = jnp.asarray(np.tile(np.array([box_len] * 3, np.float32), (f, 1)))
+    v, ok, cnt, covered = lsi_slab2.lsi_traj_split(
+        pos, boxes, 0.0, 3.7, window_narrow=1536, window_wide=3072,
+        pad=512, seg=768,
+    )
+    assert bool(np.all(np.asarray(covered)))
+    for t in range(f):
+        ref = lsi_mod.lsi(pos[t], pos[t], boxes[t], 0.0, 3.7, k=24,
+                          row_block=512)
+        np.testing.assert_array_equal(np.asarray(ok[t]), np.asarray(ref.valid))
+        np.testing.assert_allclose(np.asarray(v[t]), np.asarray(ref.lsi),
+                                   atol=2e-5)
+
+
 @needs_tpu
 def test_lsi_calc_pallas_path(tmp_path):
     from waterorderlib_tpu.io.synthetic import make_water_box

@@ -378,7 +378,7 @@ def test_pallas_topk_fallback_logs_and_stays_correct(monkeypatch, caplog):
     with caplog.at_level(logging.WARNING, logger="waterorderlib_tpu"):
         out = vd.voronoi_cells_device(pts, box_l, len(pts_np))
     assert any(
-        "voronoi pallas path failed" in r.message for r in caplog.records
+        "voronoi search path failed" in r.message for r in caplog.records
     )
     np.testing.assert_array_equal(np.asarray(out["vol"]), refv)
     np.testing.assert_array_equal(np.asarray(out["certified"]), refc)
@@ -831,6 +831,70 @@ def test_cellgrid_overflow_vetoes_coverage():
     np.testing.assert_allclose(
         d1[c1], np.asarray(nl.dist)[c1], rtol=2e-6, atol=2e-6
     )
+
+
+def test_cellgrid_pallas_extract_interpret_matches_xla():
+    """The Pallas per-row extraction over the cell-grid gather
+    (cellgrid_extract_pallas) matches the XLA lax.top_k selection on every
+    covered row — kernel-logic check in interpret mode, any backend."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from waterorderlib_tpu.surface import voronoi_device as vd
+
+    n = 512
+    pts, box_l = _water_points(n=n, jitter=0.6, seed=11)
+    pts = pts.astype(np.float32)
+    n_side, cap = 5, 64
+    ext = vd.mirror_points_device(jnp.asarray(pts), box_l)
+    args = (jnp.asarray(pts), ext, jnp.float32(box_l), 48, 64, n_side, cap)
+    with pltpu.force_tpu_interpret_mode():
+        d_p, i_p, v_p, c_p = (
+            np.asarray(x)
+            for x in vd._cellgrid_topk(*args, select="pallas")
+        )
+    d_x, i_x, v_x, c_x = (
+        np.asarray(x) for x in vd._cellgrid_topk(*args, select="xla")
+    )
+    np.testing.assert_array_equal(c_p, c_x)
+    assert c_p.sum() > 0.5 * n
+    np.testing.assert_allclose(d_p[c_p], d_x[c_p], atol=2e-6)
+    # index sets agree except at tied K-th-boundary distances
+    for r in np.where(c_p)[0][:128]:
+        if set(i_p[r].tolist()) != set(i_x[r].tolist()):
+            np.testing.assert_allclose(
+                np.sort(d_p[r]), np.sort(d_x[r]), atol=2e-6
+            )
+
+
+def test_cellgrid_pallas_extract_on_tpu():
+    """On-chip parity of the Pallas cellgrid extraction vs the XLA
+    selection at production size."""
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("pallas kernel needs the TPU backend")
+    import jax.numpy as jnp
+
+    from waterorderlib_tpu.ops.pallas.voronoi_topk import pick_cg_seg
+    from waterorderlib_tpu.surface import voronoi_device as vd
+
+    n = 4096
+    pts, box_l = _water_points(n=n, jitter=0.6, seed=13)
+    pts = pts.astype(np.float32)
+    cg = vd._suggest_cellgrid(n, float(box_l), 64)
+    assert cg is not None and pick_cg_seg(64, 27 * cg[1]) is not None
+    ext = vd.mirror_points_device(jnp.asarray(pts), box_l)
+    args = (jnp.asarray(pts), ext, jnp.float32(box_l), 64, 128, cg[0], cg[1])
+    d_p, i_p, v_p, c_p = (
+        np.asarray(x) for x in vd._cellgrid_topk(*args, select="pallas")
+    )
+    d_x, i_x, v_x, c_x = (
+        np.asarray(x) for x in vd._cellgrid_topk(*args, select="xla")
+    )
+    np.testing.assert_array_equal(c_p, c_x)
+    assert c_p.mean() >= 0.95
+    np.testing.assert_allclose(d_p[c_p], d_x[c_p], atol=2e-5)
 
 
 def test_cellgrid_hybrid_parity_vs_host():

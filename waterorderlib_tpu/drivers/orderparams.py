@@ -693,24 +693,53 @@ def _lsi_core(wat_pos, boxes, masks, low_cut, high_cut, max_neighbors, row_block
                     wat_pos, boxes, low_cut, high_cut, window=window, pad=pad,
                 )
             else:
-                # 100k+ atoms: window-chunked carry variant; past ~400k the
-                # chunked kernel's VMEM-resident coordinates overflow too, so
-                # stream them from HBM (both bit-identical to the monolithic)
-                if nw > 400_000:
-                    from waterorderlib_tpu.ops.pallas.lsi_hbm import (
-                        lsi_traj_hbm as lsi_fn,
+                # 100k+ atoms: split-shell kernel first (narrow in-shell
+                # K=12 extraction + wide single next-shell min — ~3x fewer
+                # lane-rounds than the K=24 chunked carry; its count
+                # certificate folds into `covered`, so a failed certificate
+                # falls through to the chunked tier below exactly like a
+                # window-coverage miss); then the window-chunked carry
+                # variant; past ~400k the chunked kernel's VMEM-resident
+                # coordinates overflow too, so stream them from HBM (chunked
+                # and HBM are bit-identical to the monolithic)
+                covered = None
+                if nw <= 400_000:
+                    from waterorderlib_tpu.ops.pallas.lsi_slab2 import (
+                        K_IN,
+                        fits_lsi_split,
+                        lsi_traj_split,
                     )
 
-                    tier = "hbm"
-                else:
-                    from waterorderlib_tpu.ops.pallas.lsi_chunked import (
-                        lsi_traj_chunked as lsi_fn,
+                    w_narrow = suggest_window(
+                        nw, bz, margin=high_cut, row_tile=128
                     )
+                    n_ext = nw + 2 * pad
+                    if fits_lsi_split(
+                        128, 1536, K_IN, n_ext, -(-nw // 128)
+                    ):
+                        tier = "slab-split"
+                        lsi_v, lsi_ok, _, covered = lsi_traj_split(
+                            wat_pos, boxes, low_cut, high_cut,
+                            window_narrow=w_narrow, window_wide=window,
+                            pad=pad,
+                        )
+                if covered is None or not bool(np.asarray(covered).all()):
+                    if nw > 400_000:
+                        from waterorderlib_tpu.ops.pallas.lsi_hbm import (
+                            lsi_traj_hbm as lsi_fn,
+                        )
 
-                    tier = "chunked"
-                lsi_v, lsi_ok, _, covered = lsi_fn(
-                    wat_pos, boxes, low_cut, high_cut, window=window, pad=pad,
-                )
+                        tier = "hbm"
+                    else:
+                        from waterorderlib_tpu.ops.pallas.lsi_chunked import (
+                            lsi_traj_chunked as lsi_fn,
+                        )
+
+                        tier = "chunked"
+                    lsi_v, lsi_ok, _, covered = lsi_fn(
+                        wat_pos, boxes, low_cut, high_cut, window=window,
+                        pad=pad,
+                    )
         except KERNEL_FALLBACK_ERRORS as e:
             covered = None
             _log_tier("lsi_calc", "xla-fallback", err=e)

@@ -103,13 +103,13 @@ def lsi_epilogue(dists, rawsqs, fin, high, r):
     K sorted candidate slots. dists/rawsqs/fin: K-lists of (r, 1) arrays.
     Returns (var, okrow, n_near) as (r, 1) arrays. Shared by the monolithic
     and window-chunked LSI kernels so their semantics cannot drift."""
-    near = [fin[j] & (dists[j] <= high) for j in range(K)]
+    near = [fin[j] & (dists[j] <= high) for j in range(len(dists))]
     n_near = sum(nj.astype(jnp.float32) for nj in near)  # (r, 1)
     # next-shell pick: min RAW distance among candidates beyond high
     best_raw = jnp.full((r, 1), jnp.inf, jnp.float32)
     next_dist = jnp.zeros((r, 1), jnp.float32)
     has_next = jnp.zeros((r, 1), jnp.bool_)
-    for j in range(K):
+    for j in range(len(dists)):
         isnext = fin[j] & (dists[j] > high)
         better = isnext & (rawsqs[j] < best_raw)
         best_raw = jnp.where(better, rawsqs[j], best_raw)
@@ -118,18 +118,18 @@ def lsi_epilogue(dists, rawsqs, fin, high, r):
     # last in-shell distance: the (n_near - 1)-th sorted entry
     idxf = jnp.maximum(n_near - 1.0, 0.0)
     last_near = jnp.zeros((r, 1), jnp.float32)
-    for j in range(K):
+    for j in range(len(dists)):
         last_near = jnp.where(idxf == float(j), dists[j], last_near)
     final_gap = next_dist - last_near
 
     denom = jnp.maximum(n_near, 1.0)
     sum_gaps = final_gap
-    for j in range(K - 1):
+    for j in range(len(dists) - 1):
         inner_ok = (float(j) < n_near - 1.0) & jnp.isfinite(dists[j + 1])
         sum_gaps = sum_gaps + jnp.where(inner_ok, dists[j + 1] - dists[j], 0.0)
     mean = sum_gaps / denom
     var = (final_gap - mean) ** 2
-    for j in range(K - 1):
+    for j in range(len(dists) - 1):
         inner_ok = (float(j) < n_near - 1.0) & jnp.isfinite(dists[j + 1])
         var = var + jnp.where(inner_ok, (dists[j + 1] - dists[j] - mean) ** 2, 0.0)
     var = var / denom

@@ -106,6 +106,78 @@ def slab_prep_traj(
     return SlabPrep(ext_t, starts_f, covered, order0, w, n_tiles)
 
 
+class SlabPrepMulti(NamedTuple):
+    ext_t: jnp.ndarray   # (F, 3, n_ext) extended transposed coordinates
+    starts: tuple        # per spec: (n_tiles,) window starts, /128
+    covered: tuple       # per spec: (F,) bool
+    order0: jnp.ndarray
+    ws: tuple            # per spec: static window width actually used
+    n_tiles: int
+
+
+def slab_prep_traj_multi(
+    pos: jnp.ndarray,
+    boxes: jnp.ndarray,
+    specs,
+    row_tile: int,
+    pad: int,
+) -> SlabPrepMulti:
+    """`slab_prep_traj` for SEVERAL (margin, window) specs sharing one
+    z-sort and one extended array — used by kernels that scan two windows
+    of different widths per row tile (e.g. the split-shell LSI kernel: a
+    narrow in-shell window and a wide next-shell one)."""
+    F, n = pos.shape[0], pos.shape[1]
+    n_pad_rows = -(-n // row_tile) * row_tile
+    n_tiles = n_pad_rows // row_tile
+    if n_pad_rows - n > pad:
+        raise ValueError("row_tile remainder exceeds the boundary pad")
+    L = boxes[:, 2][:, None]
+
+    wrapped = jnp.mod(pos, boxes[:, None, :])
+    z0 = wrapped[0, :, 2]
+    order0 = jnp.argsort(z0)
+    sp = wrapped[:, order0, :]
+    zs = sp[..., 2]
+    drift = jnp.max(jnp.abs(zs - zs[0:1]))
+
+    z_shift = jnp.concatenate(
+        [jnp.zeros((F, pad, 2), sp.dtype),
+         L[:, :, None] * jnp.ones((F, pad, 1), sp.dtype)],
+        axis=-1,
+    )
+    ext = jnp.concatenate(
+        [sp[:, -pad:, :] - z_shift, sp, sp[:, :pad, :] + z_shift], axis=1
+    )
+    n_ext = ext.shape[1]
+    ext_z0 = ext[0, :, 2]
+    tile_first = jnp.arange(n_tiles) * row_tile
+    tile_last = jnp.minimum(tile_first + row_tile - 1, n - 1)
+
+    starts_all, covered_all, ws = [], [], []
+    for margin, window in specs:
+        margin_eff = margin + 2.0 * drift
+        w = min(window, n_ext, (n // 128) * 128)
+        z_lo = zs[0][tile_first] - margin_eff
+        z_hi = zs[0][tile_last] + margin_eff
+        starts = jnp.searchsorted(ext_z0, z_lo, side="left")
+        ends = jnp.searchsorted(ext_z0, z_hi, side="right")
+        starts = (starts // 128) * 128
+        starts = jnp.clip(starts, 0, n_ext - w)
+        pad_ok = (ext_z0[0] <= z_lo[0]) & (ext_z0[-1] >= z_hi[-1])
+        covered = jnp.broadcast_to(
+            jnp.all(ends - starts <= w) & pad_ok, (F,)
+        )
+        starts_all.append((starts // 128).astype(jnp.int32))
+        covered_all.append(covered)
+        ws.append(w)
+
+    ext_t = jnp.transpose(ext, (0, 2, 1)).astype(jnp.float32)
+    return SlabPrepMulti(
+        ext_t, tuple(starts_all), tuple(covered_all), order0, tuple(ws),
+        n_tiles,
+    )
+
+
 def extract_k_min(dsq_ref, col, payloads, k: int):
     """K rounds of iterative first-column min extraction over the (r, w)
     distance scratch — the core loop every slab kernel shares, factored out

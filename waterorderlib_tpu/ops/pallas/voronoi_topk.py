@@ -129,6 +129,114 @@ def _topk_pallas(cen_t, ext_t, starts, k, row_tile, win, seg):
     return dist.reshape(-1, k), idxf.reshape(-1, k)
 
 
+def _make_cg_kernel(row_tile: int, seg: int, n_seg: int, k: int):
+    """Per-row-candidate variant of `_make_kernel`: each row brings its OWN
+    (4, L) candidate planes [x, y, z, idx] (the cell-grid 27-neighborhood
+    gather), instead of all rows sharing one z-sorted window."""
+
+    def kernel(cen_t_ref, planes_ref, dist_ref, idx_ref, dsq_ref):
+        i = pl.program_id(0)
+        r = row_tile
+        xr = cen_t_ref[0, pl.ds(i * r, r)].reshape(r, 1)
+        yr = cen_t_ref[1, pl.ds(i * r, r)].reshape(r, 1)
+        zr = cen_t_ref[2, pl.ds(i * r, r)].reshape(r, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (r, seg), 1)
+
+        def segment(s, carry):
+            cd, cidx = carry
+            o = pl.multiple_of(s * seg, 128)
+            xs = planes_ref[0, :, pl.ds(o, seg)]
+            ys = planes_ref[1, :, pl.ds(o, seg)]
+            zs = planes_ref[2, :, pl.ds(o, seg)]
+            ids = planes_ref[3, :, pl.ds(o, seg)]
+            dx = xs - xr
+            dy = ys - yr
+            dz = zs - zr
+            dsq = dx * dx + dy * dy + dz * dz
+            # self-exclusion (the center is one of its cell's members);
+            # parked empty slots carry x=y=z=+inf so their dsq is +inf
+            dsq_ref[:] = jnp.where(dsq > 0.0, dsq, jnp.inf)
+            nd, (pid,), oks = extract_k_min(dsq_ref, col, [ids], k)
+            npid = [jnp.where(oks[j], pid[j], -1.0) for j in range(k)]
+            kd, (kidx,) = merge_k_min(
+                jnp.concatenate([cd] + nd, axis=1),
+                [jnp.concatenate([cidx] + npid, axis=1)],
+                k,
+                invalids=[-1.0],
+            )
+            return kd, kidx
+
+        init = (
+            jnp.full((r, k), jnp.inf, jnp.float32),
+            jnp.full((r, k), -1.0, jnp.float32),
+        )
+        cd, cidx = jax.lax.fori_loop(0, n_seg, segment, init)
+        dist_ref[0] = jnp.sqrt(cd)
+        idx_ref[0] = cidx
+
+    return kernel
+
+
+def pick_cg_seg(k: int, lanes: int, rc: int = 4096):
+    """(row_tile, seg) for `cellgrid_extract_pallas` fitting scoped VMEM
+    (same ~(2 + 0.32*K)x Mosaic stack model as fits_voronoi_topk, plus the
+    per-tile (4, row_tile, Lp) planes block), or None when no segment
+    width fits (k_search too large). row_tile is pinned at 128: tile starts
+    must be statically 128-aligned for the manual center loads (Mosaic
+    rejects `pl.ds(i * 64, …)` — "cannot statically prove … multiple of
+    128")."""
+    for rt in (128,):
+        for seg in (1024, 896, 768, 640, 512, 384, 256):
+            n_seg = -(-lanes // seg)
+            lp = n_seg * seg
+            extract = rt * seg * 4 * (2.0 + 0.32 * k)
+            merge = rt * 2 * k * 4 * (2.0 + 0.32 * k)
+            block = 4 * rt * lp * 4
+            cen = 3 * rc * 4
+            if extract + merge + block + cen <= 13_500_000:
+                return rt, seg
+    return None
+
+
+@partial(jax.jit, static_argnames=("k", "row_tile", "seg"))
+def cellgrid_extract_pallas(cen_t, planes, k, row_tile, seg):
+    """K-nearest among each row's own candidate planes.
+
+    cen_t: (3, num) f32 centers (num a multiple of row_tile); planes:
+    (4, num, Lp) f32 — per row the planes [x, y, z, idx] of its gathered
+    cell-grid neighborhood, empty slots parked at +inf/-1, Lp a multiple
+    of `seg`. Returns (dist (num, k), idx_f (num, k)) — idx as float
+    (exact below 2^24), -1 where fewer than k candidates exist.
+    """
+    num = cen_t.shape[1]
+    lp = planes.shape[2]
+    n_tiles = num // row_tile
+    n_seg = lp // seg
+    out_spec = pl.BlockSpec(
+        (1, row_tile, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    dist, idxf = pl.pallas_call(
+        _make_cg_kernel(row_tile, seg, n_seg, k),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                cen_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (4, row_tile, lp), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(out_spec, out_spec),
+        scratch_shapes=[pltpu.VMEM((row_tile, seg), jnp.float32)],
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, row_tile, k), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, row_tile, k), jnp.float32),
+        ),
+    )(cen_t, planes)
+    return dist.reshape(-1, k), idxf.reshape(-1, k)
+
+
 def voronoi_topk_pallas(
     centers: jnp.ndarray,
     ext: jnp.ndarray,

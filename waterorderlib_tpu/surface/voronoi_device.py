@@ -690,18 +690,26 @@ def _cellgrid_build(ext, box_l, n_side: int, cap: int):
     return tbl, overflow, dropped, s
 
 
-def _cellgrid_topk(centers, ext, box_l, k_search, row_block, n_side, cap):
+def _cellgrid_topk(centers, ext, box_l, k_search, row_block, n_side, cap,
+                   select="xla"):
     """K-nearest mirrored candidates via a 3-D cell grid — the algorithmic
     replacement for `_windowed_topk`'s z-slab scan (same contract).
 
-    Each center gathers its 27-cell neighborhood from the bucketed table:
-    9 contiguous (3-cell x-run, 4*cap)-slices per row (a vmapped
-    dynamic_slice — one gather of large contiguous blocks), then one
-    lax.top_k over 27*cap lanes instead of the z-window's thousands. The
-    round-4 ablation proved the z-window tier-1 is bound by the top-k/merge
-    working set, not the lane scan — this shrinks exactly that.
+    The bucketed table is expanded to `tbl27`: one row per cell holding its
+    FULL pre-assembled 27-cell neighborhood (27 statically-shifted copies —
+    27 contiguous rolls, ~0.1 ms), so each center's candidate fetch is ONE
+    contiguous-row gather. The round-5 ablation measured the previous
+    per-row 9-slice vmapped-dynamic_slice gather at 104 ms of the 132 ms
+    total at 12k (gather-op-bound, ~3 GB/s effective); single-row takes
+    stream at memory bandwidth instead.
 
-    Per-row coverage certificate: the neighborhood covers the full L-inf
+    select="pallas" runs the K-extraction as a segmented Pallas
+    extract/merge over each row's own lanes (ops/pallas/voronoi_topk.py:
+    cellgrid_extract_pallas); "xla" uses lax.top_k (the fallback, and the
+    f64 path). Rows are processed in chunks so the gathered (4, rc, Lp)
+    planes never exceed ~100 MB.
+
+    Per-row coverage certificate: the 27-neighborhood covers the full L-inf
     ball of radius `reach` around the center (reach = distance to the
     gathered region's boundary, >= s for interior rows); the K-th distance
     must beat min(reach, s-if-any-candidate-was-dropped), every slot must
@@ -712,86 +720,119 @@ def _cellgrid_topk(centers, ext, box_l, k_search, row_block, n_side, cap):
     n_cells = n_side**3
     tbl, overflow, dropped, s = _cellgrid_build(ext, box_l, n_side, cap)
     num = centers.shape[0]
+    lanes = 27 * cap
+    row_tile = seg = None
+    if select == "pallas":
+        from waterorderlib_tpu.ops.pallas.voronoi_topk import (
+            cellgrid_extract_pallas, pick_cg_seg,
+        )
+
+        cfg = pick_cg_seg(k_search, lanes)
+        if cfg is None:
+            select = "xla"
+        else:
+            row_tile, seg = cfg
+    if select == "pallas":
+        lp = -(-lanes // seg) * seg
+        rmult = row_tile
+    else:
+        lp = -(-lanes // 128) * 128
+        rmult = 8
+    # tbl27: (4, n_cells, Lp). Roll by -o maps row c to cell c+o; a clamped
+    # center cell (all coords in [1, n_side-2]) has every neighbor coord in
+    # [0, n_side-1], so the flattened c+o never wraps for any row we index.
+    tbl4 = tbl.reshape(n_cells, 4, cap)
+    offs = [
+        (dz * n_side + dy) * n_side + dx
+        for dz in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    ]
+    tbl27 = jnp.concatenate(
+        [jnp.roll(tbl4, -o, axis=0) for o in offs], axis=2
+    )  # (n_cells, 4, 27*cap)
+    if lp > lanes:
+        park = jnp.asarray([jnp.inf, jnp.inf, jnp.inf, -1.0], dtype)
+        tbl27 = jnp.concatenate(
+            [
+                tbl27,
+                jnp.broadcast_to(
+                    park[None, :, None], (n_cells, 4, lp - lanes)
+                ),
+            ],
+            axis=2,
+        )
+    tbl27 = jnp.transpose(tbl27, (1, 0, 2))  # (4, n_cells, Lp)
+
     g = jnp.clip(
         jnp.floor(centers / s).astype(jnp.int32) + 1, 1, n_side - 2
     )  # (num, 3); the clamp only re-centers the neighborhood — `reach`
     # below is computed from the clamped cell, so coverage stays sound
     cid = (g[:, 2] * n_side + g[:, 1]) * n_side + g[:, 0]
-    ordc = jnp.argsort(cid)  # cell-sorted rows share gather locality
-    cs, gs, cids = centers[ordc], g[ordc], cid[ordc]
-    pad = (-num) % row_block
+
+    rc = 4096 if num > 4096 else -(-num // rmult) * rmult
+    pad = (-num) % rc
+    cs, cids = centers, cid
     if pad:
         cs = jnp.concatenate([cs, jnp.repeat(cs[-1:], pad, axis=0)])
-        gs = jnp.concatenate([gs, jnp.repeat(gs[-1:], pad, axis=0)])
         cids = jnp.concatenate([cids, jnp.repeat(cids[-1:], pad)])
-    off9 = jnp.asarray(
-        [
-            (dz * n_side + dy) * n_side
-            for dz in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ],
-        jnp.int32,
-    )
 
-    def one_block(args):
-        blk, gb, cb = args  # (rb, 3), (rb, 3), (rb,)
-        rb = blk.shape[0]
-        starts = cb[:, None] + off9[None, :] - 1  # (rb, 9) x-run start cells
-        slc = jax.vmap(
-            jax.vmap(
-                lambda st: jax.lax.dynamic_slice(
-                    tbl, (st, jnp.zeros((), st.dtype)), (3, 4 * cap)
-                )
+    if select == "pallas":
+
+        def one_chunk(args):
+            blk, cb = args  # (rc, 3), (rc,)
+            planes = tbl27[:, cb, :].astype(jnp.float32)  # (4, rc, Lp)
+            dist, idf = cellgrid_extract_pallas(
+                jnp.transpose(blk).astype(jnp.float32), planes, k_search,
+                row_tile, seg,
             )
-        )(starts)  # (rb, 9, 3, 4*cap)
-        gq = slc.reshape(rb, 9, 3, 4, cap)
-        lanes = 27 * cap
-        X = gq[:, :, :, 0, :].reshape(rb, lanes)
-        Y = gq[:, :, :, 1, :].reshape(rb, lanes)
-        Z = gq[:, :, :, 2, :].reshape(rb, lanes)
-        dx = blk[:, 0:1] - X
-        dy = blk[:, 1:2] - Y
-        dz = blk[:, 2:3] - Z
-        dsq = dx * dx + dy * dy + dz * dz
-        masked = jnp.where(dsq > 0.0, dsq, jnp.inf)  # self-exclusion
-        neg_top, li = jax.lax.top_k(-masked, k_search)
-        top_dsq = -neg_top
-        slot_ok = jnp.isfinite(top_dsq)
-        dist = jnp.sqrt(jnp.where(slot_ok, top_dsq, jnp.inf))
-        gi = jnp.take_along_axis(
-            gq[:, :, :, 3, :].reshape(rb, lanes), li, axis=1
-        )
-        gidx = jnp.where(slot_ok, gi, 0.0).astype(jnp.int32)
-        d_far = dist[:, -1]
-        d_far = jnp.where(jnp.isfinite(d_far), d_far, 0.0)
-        # gathered region per axis: [(g-2)s, (g+1)s) in grid coordinates
-        # (cell g spans [-s + g*s, -s + (g+1)*s))
-        lo = (gb.astype(dtype) - 2.0) * s
-        hi = (gb.astype(dtype) + 1.0) * s
-        reach = jnp.minimum(
-            jnp.min(blk - lo, axis=1), jnp.min(hi - blk, axis=1)
-        )
-        bound = jnp.where(dropped, jnp.minimum(reach, s), reach)
-        cell27 = (starts[:, :, None] + jnp.arange(3)[None, None, :]).reshape(
-            rb, 27
-        )
-        ovf27 = jnp.any(overflow[cell27], axis=1)
-        covered = (d_far < bound) & jnp.all(slot_ok, axis=-1) & ~ovf27
-        return dist, gidx, slot_ok, covered
+            slot_ok = jnp.isfinite(dist) & (idf >= 0.0)
+            gidx = jnp.where(slot_ok, idf, 0.0).astype(jnp.int32)
+            return dist.astype(dtype), gidx, slot_ok
 
-    blocks = (
-        cs.reshape(-1, row_block, 3),
-        gs.reshape(-1, row_block, 3),
-        cids.reshape(-1, row_block),
+    else:
+
+        def one_chunk(args):
+            blk, cb = args
+            planes = tbl27[:, cb, :]  # (4, rc, Lp)
+            dx = blk[:, 0:1] - planes[0]
+            dy = blk[:, 1:2] - planes[1]
+            dz = blk[:, 2:3] - planes[2]
+            dsq = dx * dx + dy * dy + dz * dz
+            masked = jnp.where(dsq > 0.0, dsq, jnp.inf)  # self-exclusion
+            neg_top, li = jax.lax.top_k(-masked, k_search)
+            top_dsq = -neg_top
+            slot_ok = jnp.isfinite(top_dsq)
+            dist = jnp.sqrt(jnp.where(slot_ok, top_dsq, jnp.inf))
+            gi = jnp.take_along_axis(planes[3], li, axis=1)
+            gidx = jnp.where(slot_ok, gi, 0.0).astype(jnp.int32)
+            return dist, gidx, slot_ok
+
+    blocks = (cs.reshape(-1, rc, 3), cids.reshape(-1, rc))
+    if cs.shape[0] == rc:  # single chunk: skip the lax.map wrapper
+        dist, idx, valid = one_chunk((cs, cids))
+    else:
+        dist, idx, valid = jax.lax.map(one_chunk, blocks)
+        dist, idx, valid = (
+            x.reshape((-1,) + x.shape[2:]) for x in (dist, idx, valid)
+        )
+    dist, idx, valid = dist[:num], idx[:num], valid[:num]
+
+    d_far = dist[:, -1]
+    d_far = jnp.where(jnp.isfinite(d_far), d_far, 0.0)
+    # gathered region per axis: [(g-2)s, (g+1)s) in grid coordinates
+    # (cell g spans [-s + g*s, -s + (g+1)*s))
+    lo = (g.astype(dtype) - 2.0) * s
+    hi = (g.astype(dtype) + 1.0) * s
+    reach = jnp.minimum(
+        jnp.min(centers - lo, axis=1), jnp.min(hi - centers, axis=1)
     )
-    dist, idx, valid, covered = jax.lax.map(one_block, blocks)
-    unblk = lambda x: x.reshape((-1,) + x.shape[2:])[:num]
-    inv = jnp.zeros(num, jnp.int32).at[ordc].set(
-        jnp.arange(num, dtype=jnp.int32)
-    )
-    return (
-        unblk(dist)[inv], unblk(idx)[inv], unblk(valid)[inv], unblk(covered)[inv]
-    )
+    bound = jnp.where(dropped, jnp.minimum(reach, s), reach)
+    off27 = jnp.asarray(offs, jnp.int32)
+    cell27 = cid[:, None] + off27[None, :]  # (num, 27)
+    ovf27 = jnp.any(overflow[cell27], axis=1)
+    covered = (d_far < bound) & jnp.all(valid, axis=-1) & ~ovf27
+    return dist, idx, valid, covered
 
 
 @partial(jax.jit, static_argnames=("k", "k_search", "row_block", "eps", "win", "topk_impl", "topk_seg", "cell_impl", "n_real", "cg"))
@@ -802,11 +843,13 @@ def _cells_blocked(centers, ext, box, k, k_search, row_block, eps, win=None,
     the fused TPU kernel (ops/pallas/voronoi_cells.py), contract-identical
     to "clip". n_real: number of original (non-mirror) points leading ext
     (None = the full 4P mirror layout, where it is ext.shape[0] // 4).
-    topk_impl="cellgrid" uses the 3-D cell-grid candidate search with
-    static config cg=(n_side, cap) and the REAL box edge box_l (traced)."""
-    if topk_impl == "cellgrid":
+    topk_impl="cellgrid" (Pallas per-row extraction) / "cellgrid_x" (XLA
+    lax.top_k) use the 3-D cell-grid candidate search with static config
+    cg=(n_side, cap) and the REAL box edge box_l (traced)."""
+    if topk_impl in ("cellgrid", "cellgrid_x"):
         dist, idx, valid, win_cov = _cellgrid_topk(
-            centers, ext, box_l, k_search, row_block, cg[0], cg[1]
+            centers, ext, box_l, k_search, row_block, cg[0], cg[1],
+            select="pallas" if topk_impl == "cellgrid" else "xla",
         )
         nl = ops_pairs.NeighborList(dist, idx, valid, jnp.sum(valid, axis=-1))
     elif topk_impl == "pallas":
@@ -940,7 +983,11 @@ def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
         cell_tiers = ["pallas", "pallas_always"] + cell_tiers
     attempts = []  # (topk_impl, cell_impl) in preference order
     if cg is not None and box_l is not None:
-        attempts += [("cellgrid", ci) for ci in cell_tiers]
+        from waterorderlib_tpu.ops.pallas.voronoi_topk import pick_cg_seg
+
+        if on_tpu_f32 and pick_cg_seg(k_search, 27 * cg[1]) is not None:
+            attempts += [("cellgrid", ci) for ci in cell_tiers]
+        attempts += [("cellgrid_x", ci) for ci in cell_tiers]
     if use_topk:
         attempts += [("pallas", ci) for ci in cell_tiers]
     elif use_cells:
@@ -954,8 +1001,8 @@ def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
                 centers, ext, box, k, k_search, row_block, eps, win=win,
                 topk_impl=tik, topk_seg=seg,
                 cell_impl=ci, n_real=n_real,
-                cg=cg if tik == "cellgrid" else None,
-                box_l=box_l if tik == "cellgrid" else None,
+                cg=cg if tik in ("cellgrid", "cellgrid_x") else None,
+                box_l=box_l if tik in ("cellgrid", "cellgrid_x") else None,
             )
             _jax.block_until_ready(out["vol"])
             get_logger().info(
@@ -1338,8 +1385,8 @@ def voronoi_volumes_hybrid_frames(
 
     vol_b = area_b = cert_b = None
     for ti, ci in attempts:
-        cg_t = cg if ti == "cellgrid" else None
-        mb_t = 0 if ti == "cellgrid" else mb
+        cg_t = cg if ti in ("cellgrid", "cellgrid_x") else None
+        mb_t = 0 if ti in ("cellgrid", "cellgrid_x") else mb
         try:
             if mesh is not None:
                 from waterorderlib_tpu.parallel.mesh import sharded_voronoi_tier1
@@ -1445,6 +1492,7 @@ def _escalate_frames_batched(pos_batch, box_ls, vol_b, area_b, cert_b,
 
     F, n_pts = pos_batch.shape[0], pos_batch.shape[1]
     payload = [[] for _ in range(F)]
+    last = None  # final executed tier: (bad_rows, device payload arrays)
     if not tiers_rest:
         return vol_b, area_b, cert_b, payload
     pb = jnp.asarray(pos_batch)
@@ -1496,8 +1544,19 @@ def _escalate_frames_batched(pos_batch, box_ls, vol_b, area_b, cert_b,
             None if tier is tiers_rest[-1]  # last tier full-scans (no veto)
             else _suggest_cellgrid(n_pts, box_min, ks2, s_factor=1.4)
         )
-        if cg2 is not None and ("cellgrid", ci_t, k2, ks2) not in _PALLAS_BROKEN:
+        from waterorderlib_tpu.ops.pallas.voronoi_topk import pick_cg_seg
+
+        if (
+            cg2 is not None
+            and on_tpu_f32
+            and pick_cg_seg(ks2, 27 * cg2[1]) is not None
+            and ("cellgrid", ci_t, k2, ks2) not in _PALLAS_BROKEN
+        ):
             ti2 = "cellgrid"
+        elif cg2 is not None and (
+            ("cellgrid_x", ci_t, k2, ks2) not in _PALLAS_BROKEN
+        ):
+            ti2 = "cellgrid_x"
         else:
             cg2 = None
             ti2 = "pallas" if (
@@ -1529,9 +1588,13 @@ def _escalate_frames_batched(pos_batch, box_ls, vol_b, area_b, cert_b,
                 win_arg, "window", 0,
                 "clip" if ci_t == "pallas" else ci_t,
             )
-        vol2, area2, cert2, nd, nidx, nvalid, wcov = (
-            np.asarray(x) for x in res
-        )
+        # fetch only the small (F, bucket) stats per tier; the (F, bucket,
+        # ks) candidate payloads stay ON DEVICE — they are consulted only
+        # for rows still uncertified after the WHOLE ladder (the host
+        # close), which is ~0.01% of rows, while an eager per-tier fetch of
+        # all seven outputs cost more relay time than the tier's compute
+        vol2, area2, cert2 = (np.asarray(res[i]) for i in range(3))
+        last = (bad_rows, res[3], res[4], res[5], res[6])
         for t, b in enumerate(bad_rows):
             nb = len(b)
             if nb == 0:
@@ -1541,6 +1604,15 @@ def _escalate_frames_batched(pos_batch, box_ls, vol_b, area_b, cert_b,
             vol_b[t][fixed] = vol2[t, :nb][c2].astype(np.float64)
             area_b[t][fixed] = area2[t, :nb][c2].astype(np.float64)
             cert_b[t][fixed] = True
+    if last is not None and any(not cert_b[t].all() for t in range(F)):
+        bad_rows, ndj, nij, nvj, wcj = last
+        nd, nidx, nvalid, wcov = (
+            np.asarray(x) for x in (ndj, nij, nvj, wcj)
+        )
+        for t, b in enumerate(bad_rows):
+            nb = len(b)
+            if nb == 0 or cert_b[t].all():
+                continue
             payload[t] = [(b, {
                 "nbr_dist": nd[t, :nb], "nbr_idx": nidx[t, :nb],
                 "nbr_valid": nvalid[t, :nb], "win_covered": wcov[t, :nb],
@@ -1612,7 +1684,11 @@ def _batch_static_config(pos_batch, box_ls, k0: int, ks0: int,
         # path on-chip, r4 — see _dispatch_cells)
         cells_tiers = ["pallas", "pallas_always", base_ci]
     if cg is not None:
-        attempts += [("cellgrid", ci) for ci in cells_tiers]
+        from waterorderlib_tpu.ops.pallas.voronoi_topk import pick_cg_seg
+
+        if on_tpu_f32 and pick_cg_seg(ks0, 27 * cg[1]) is not None:
+            attempts += [("cellgrid", ci) for ci in cells_tiers]
+        attempts += [("cellgrid_x", ci) for ci in cells_tiers]
     if on_tpu_f32:
         ti = "pallas" if (p4 >= 4096 and seg > 0) else "window"
         attempts += [(ti, ci) for ci in cells_tiers if (ti, ci) not in attempts]
@@ -1747,8 +1823,8 @@ def voronoi_contacts_hybrid_frames(
 
     batch = None
     for ti, ci in attempts:
-        cg_t = cg if ti == "cellgrid" else None
-        mb_t = 0 if ti == "cellgrid" else mb
+        cg_t = cg if ti in ("cellgrid", "cellgrid_x") else None
+        mb_t = 0 if ti in ("cellgrid", "cellgrid_x") else mb
         try:
             if mesh is not None:
                 from waterorderlib_tpu.parallel.mesh import (
