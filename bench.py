@@ -516,7 +516,9 @@ def breakdown():
             voronoi_volumes_hybrid_frames,
         )
 
-        Fv = 4
+        # F=8: large enough to amortize the per-batch dispatch/glue the way
+        # voronoi_calc's default 16-frame chunks do (F=4 reads ~25% high)
+        Fv = 8
         posvf, _, _ = _make_traj(nv, Fv, seed=6)
         blsv = np.full((Fv,), boxv, np.float32)
         volb, areab, certb = voronoi_volumes_hybrid_frames(posvf, blsv, nv)

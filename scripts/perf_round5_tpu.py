@@ -179,6 +179,39 @@ def stage_contacts():
         rec("voronoi_contacts_e2e_12k", error=f"{type(e).__name__}: {e}")
 
 
+def stage_ladders():
+    """Alternate escalation ladder shapes at 12k: fewer, wider tiers trade
+    one extra-wide subset pass against two intermediate dispatches."""
+    from waterorderlib_tpu.surface import voronoi_device as vd
+
+    n = 12288
+    F = 16
+    pos, box = make_fix(n, F)
+    bls = np.full((F,), box, np.float32)
+    for name, tiers in (
+        ("short", ((32, 64), (64, 128), (128, 256))),
+        ("short96", ((32, 64), (48, 96), (96, 192), (128, 256))),
+    ):
+        key = f"voronoi_frames_e2e_12k_{name}"
+        try:
+            t0 = time.time()
+            vd.voronoi_volumes_hybrid_frames(pos, bls, n, tiers=tiers)
+            cold = time.time() - t0
+            best = float("inf")
+            for i in range(2):
+                t0 = time.time()
+                volb, areab, certb = vd.voronoi_volumes_hybrid_frames(
+                    np.mod(pos + np.float32(1e-3 * (i + 1)), box), bls, n,
+                    tiers=tiers,
+                )
+                best = min(best, (time.time() - t0) / F)
+            rec(key, ms_per_frame=round(best * 1e3, 2), frames=F, n=n,
+                cold_s=round(cold, 1),
+                certified_frac=round(int(certb) / (n * F), 5))
+        except Exception as e:
+            rec(key, error=f"{type(e).__name__}: {e}")
+
+
 STAGES = {
     "tier1": stage_tier1,
     "frames": lambda: stage_frames("default"),
@@ -186,6 +219,7 @@ STAGES = {
     "frames_big": stage_frames_big,
     "big": stage_big,
     "contacts": stage_contacts,
+    "ladders": stage_ladders,
 }
 
 if __name__ == "__main__":

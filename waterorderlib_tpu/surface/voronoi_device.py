@@ -985,9 +985,14 @@ def _dispatch_cells(centers, ext, box, k, k_search, row_block, eps, win,
     if cg is not None and box_l is not None:
         from waterorderlib_tpu.ops.pallas.voronoi_topk import pick_cg_seg
 
+        # XLA lax.top_k over the gathered 27-cell lanes measures FASTER on
+        # chip than the Pallas segmented extraction (r5 profile: 14.8 vs
+        # 20.5 ms/frame at 12k/ks=64, 24.6 vs 56.2 at ks=96 — the short
+        # ~1.7k-lane rows never amortize the extract/merge stack), so
+        # cellgrid_x leads and the Pallas extraction is the retry tier
+        attempts += [("cellgrid_x", ci) for ci in cell_tiers]
         if on_tpu_f32 and pick_cg_seg(k_search, 27 * cg[1]) is not None:
             attempts += [("cellgrid", ci) for ci in cell_tiers]
-        attempts += [("cellgrid_x", ci) for ci in cell_tiers]
     if use_topk:
         attempts += [("pallas", ci) for ci in cell_tiers]
     elif use_cells:
@@ -1546,17 +1551,18 @@ def _escalate_frames_batched(pos_batch, box_ls, vol_b, area_b, cert_b,
         )
         from waterorderlib_tpu.ops.pallas.voronoi_topk import pick_cg_seg
 
-        if (
+        if cg2 is not None and (
+            ("cellgrid_x", ci_t, k2, ks2) not in _PALLAS_BROKEN
+        ):
+            # XLA select leads (measured faster on chip — _dispatch_cells)
+            ti2 = "cellgrid_x"
+        elif (
             cg2 is not None
             and on_tpu_f32
             and pick_cg_seg(ks2, 27 * cg2[1]) is not None
             and ("cellgrid", ci_t, k2, ks2) not in _PALLAS_BROKEN
         ):
             ti2 = "cellgrid"
-        elif cg2 is not None and (
-            ("cellgrid_x", ci_t, k2, ks2) not in _PALLAS_BROKEN
-        ):
-            ti2 = "cellgrid_x"
         else:
             cg2 = None
             ti2 = "pallas" if (
@@ -1686,9 +1692,11 @@ def _batch_static_config(pos_batch, box_ls, k0: int, ks0: int,
     if cg is not None:
         from waterorderlib_tpu.ops.pallas.voronoi_topk import pick_cg_seg
 
+        # cellgrid_x (XLA top_k select) leads: measured faster on chip than
+        # the Pallas extraction at every k_search (see _dispatch_cells)
+        attempts += [("cellgrid_x", ci) for ci in cells_tiers]
         if on_tpu_f32 and pick_cg_seg(ks0, 27 * cg[1]) is not None:
             attempts += [("cellgrid", ci) for ci in cells_tiers]
-        attempts += [("cellgrid_x", ci) for ci in cells_tiers]
     if on_tpu_f32:
         ti = "pallas" if (p4 >= 4096 and seg > 0) else "window"
         attempts += [(ti, ci) for ci in cells_tiers if (ti, ci) not in attempts]
