@@ -70,7 +70,18 @@ def slab_prep_traj(
     order0 = jnp.argsort(z0)  # one sort for the whole trajectory
     sp = wrapped[:, order0, :]
     zs = sp[..., 2]
-    drift = jnp.max(jnp.abs(zs - zs[0:1]))
+    # MIN-IMAGE z-drift: an atom crossing the periodic z boundary between
+    # frames reads as a ~box-height raw jump, which inflated margin_eff to
+    # ~2 L_z and coverage-vetoed EVERY wrapped trajectory (r5 finding: the
+    # scale-0.35 fixtures and any real MD trajectory long enough for one
+    # boundary crossing fell back to the XLA path). Circular distance is
+    # the sound metric here: the kernels min-image every pair distance
+    # in-register, so the certificate only needs each neighbor's COLUMN
+    # (frame-0 z-slot) inside the row's window, and the +/-L pad copies
+    # realize circular column adjacency — an atom is always within
+    # min-image drift of its frame-0 slot on the z circle.
+    dz = jnp.abs(zs - zs[0:1])
+    drift = jnp.max(jnp.minimum(dz, L - dz))
     margin_eff = margin + 2.0 * drift
 
     z_shift = jnp.concatenate(
@@ -138,7 +149,9 @@ def slab_prep_traj_multi(
     order0 = jnp.argsort(z0)
     sp = wrapped[:, order0, :]
     zs = sp[..., 2]
-    drift = jnp.max(jnp.abs(zs - zs[0:1]))
+    # min-image z-drift — see slab_prep_traj for the soundness argument
+    dz = jnp.abs(zs - zs[0:1])
+    drift = jnp.max(jnp.minimum(dz, L - dz))
 
     z_shift = jnp.concatenate(
         [jnp.zeros((F, pad, 2), sp.dtype),
